@@ -1,0 +1,65 @@
+"""SOLA (synchronous overlap-add) alignment and crossfade.
+
+Parity targets: ``/root/reference/obs-rvc/src/rt_utils.rs:60-90``
+(normalized cross-correlation offset search; verified against the in-tree
+fixture ``infer_wav.npy``/``sola_buffer.npy`` → offset 321) and the sin²/cos²
+crossfade application at ``/root/reference/obs-rvc/src/lib.rs:768-791``.
+
+TPU-native design: the correlation is a single matmul of the stacked search
+windows against the saved tail (MXU-friendly, no FFT needed for the typical
+``buffer≈1920, search≈480`` sizes) and the winning offset is consumed by
+``jax.lax.dynamic_slice`` — the offset never leaves the device, unlike the
+reference which round-trips through host argmax.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sola_offset(
+    output_wav: jnp.ndarray,
+    sola_buffer: jnp.ndarray,
+    buffer_frame_size: int,
+    search_frame_size: int,
+) -> jnp.ndarray:
+    """Best alignment offset in ``[0, search_frame_size]`` of ``output_wav``
+    against the saved ``sola_buffer`` tail.
+
+    ``cor[k] = <out[k:k+B], sola> / sqrt(sum(out[k:k+B]^2) + 1e-8)``,
+    maximized over k (``rt_utils.rs:60-90``; note ndarray_conv's "Valid conv"
+    is cross-correlation — no kernel flip — per the reference's own test
+    ``obs-rvc/src/tests/sola.rs`` expecting 321).
+    """
+    n_offsets = search_frame_size + 1
+    starts = jnp.arange(n_offsets)
+    idx = starts[:, None] + jnp.arange(buffer_frame_size)[None, :]
+    windows = output_wav[idx]  # [search+1, buffer]
+
+    cor_nom = jnp.dot(windows, sola_buffer, preferred_element_type=jnp.float32)
+    cor_den = jnp.sqrt(jnp.sum(windows * windows, axis=1) + 1e-8)
+    return jnp.argmax(cor_nom / cor_den).astype(jnp.int32)
+
+
+def sola_crossfade(
+    output_wav: jnp.ndarray,
+    sola_buffer: jnp.ndarray,
+    offset: jnp.ndarray,
+    fade_in: jnp.ndarray,
+    fade_out: jnp.ndarray,
+    sample_frame_size: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Align ``output_wav`` at ``offset``, crossfade its head with the saved
+    tail, and return ``(emitted chunk [sample_frame_size], next sola_buffer)``
+    (``lib.rs:776-794``)."""
+    buffer_size = sola_buffer.shape[0]
+    aligned_len = sample_frame_size + buffer_size
+    aligned = jax.lax.dynamic_slice(output_wav, (offset,), (aligned_len,))
+
+    head = aligned[:buffer_size] * fade_in + sola_buffer * fade_out
+    aligned = aligned.at[:buffer_size].set(head)
+
+    emitted = aligned[:sample_frame_size]
+    next_sola = aligned[sample_frame_size : sample_frame_size + buffer_size]
+    return emitted, next_sola
