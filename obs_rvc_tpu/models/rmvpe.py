@@ -1,0 +1,190 @@
+"""RMVPE E2E pitch-salience network in Flax.
+
+Replaces the reference's ``rmvpe.onnx`` session (``mel2hidden`` at
+``/root/reference/rvc/src/f0/rmvpe.rs:225-241``): log-mel ``[B, 128, T]`` →
+salience ``[B, T, 360]``, with T a multiple of 32 (the 5-level U-Net pools
+2×2 five times — this is *why* the reference pads frames to 32,
+``rmvpe.rs:227``; our chunk geometry guarantees it statically, see
+``ChunkConfig.rmvpe_n_frames``).
+
+Architecture mirrors the published RMVPE ``E2E(4, 1, (2, 2))`` used by RVC:
+DeepUnet (5 encoder levels ×4 ConvBlockRes, 4 intermediate blocks, 5 decoder
+levels with skip concat) → 3-channel 3×3 CNN → BiGRU(384→2×256) →
+Linear(512→360) → sigmoid.
+
+BatchNorm runs in inference mode (running stats folded as scale/shift).
+The BiGRU keeps torch's gate layout (W_ih ``[3H, in]``, W_hh ``[3H, H]``)
+so checkpoint conversion is a direct copy; time recurrence is a
+``jax.lax.scan`` (T is small and static — 64 frames per default chunk).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from obs_rvc_tpu.models.layers import ConvTranspose2dTorch
+
+N_MELS = 128
+N_CLASS = 360
+
+
+@dataclasses.dataclass(frozen=True)
+class RMVPEConfig:
+    en_de_layers: int = 5
+    inter_layers: int = 4
+    n_blocks: int = 4
+    en_out_channels: int = 16
+    gru_hidden: int = 256
+    n_gru: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+
+class ConvBlockRes(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # NHWC
+        in_channels = x.shape[-1]
+        y = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=True, dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=True, dtype=self.dtype, name="bn2")(y)
+        y = nn.relu(y)
+        if in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="shortcut")(x)
+        return x + y
+
+
+class ResEncoderBlock(nn.Module):
+    out_channels: int
+    n_blocks: int
+    pool: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        for i in range(self.n_blocks):
+            x = ConvBlockRes(self.out_channels, self.dtype, name=f"block_{i}")(x)
+        if self.pool:
+            pooled = nn.avg_pool(x, (2, 2), strides=(2, 2))
+            return pooled, x  # (downsampled, skip)
+        return x
+
+
+class ResDecoderBlock(nn.Module):
+    out_channels: int
+    n_blocks: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
+        # torch ConvTranspose2d 3x3 stride 2, padding=1, output_padding=1 → exact 2x
+        y = ConvTranspose2dTorch(
+            self.out_channels, (3, 3), stride=(2, 2), padding=(1, 1),
+            output_padding=(1, 1), use_bias=False, dtype=self.dtype, name="up",
+        )(x)
+        y = nn.BatchNorm(use_running_average=True, dtype=self.dtype, name="bn")(y)
+        y = nn.relu(y)
+        y = jnp.concatenate([y, skip], axis=-1)
+        for i in range(self.n_blocks):
+            y = ConvBlockRes(self.out_channels, self.dtype, name=f"block_{i}")(y)
+        return y
+
+
+class DeepUnet(nn.Module):
+    config: RMVPEConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, 128, 1] NHWC
+        cfg = self.config
+        x = nn.BatchNorm(use_running_average=True, dtype=cfg.dtype, name="in_bn")(x)
+
+        skips = []
+        ch = cfg.en_out_channels
+        for i in range(cfg.en_de_layers):
+            x, skip = ResEncoderBlock(ch, cfg.n_blocks, pool=True, dtype=cfg.dtype,
+                                      name=f"encoder_{i}")(x)
+            skips.append(skip)
+            ch *= 2
+
+        # intermediate: first block doubles channels (256→512), rest keep
+        for i in range(cfg.inter_layers):
+            x = ResEncoderBlock(ch, cfg.n_blocks, pool=False, dtype=cfg.dtype,
+                                name=f"intermediate_{i}")(x)
+
+        for i in range(cfg.en_de_layers):
+            ch //= 2
+            x = ResDecoderBlock(ch, cfg.n_blocks, dtype=cfg.dtype,
+                                name=f"decoder_{i}")(x, skips[-(i + 1)])
+        return x  # [B, T, 128, 16]
+
+
+class BiGRU(nn.Module):
+    """Bidirectional GRU with torch gate layout (r, z, n)."""
+
+    hidden: int
+    num_layers: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, C] → [B, T, 2H]
+        H = self.hidden
+        for layer in range(self.num_layers):
+            outs = []
+            for direction in (0, 1):
+                in_dim = x.shape[-1]
+                w_ih = self.param(f"l{layer}_d{direction}_w_ih", nn.initializers.lecun_normal(), (3 * H, in_dim))
+                w_hh = self.param(f"l{layer}_d{direction}_w_hh", nn.initializers.orthogonal(), (3 * H, H))
+                b_ih = self.param(f"l{layer}_d{direction}_b_ih", nn.initializers.zeros, (3 * H,))
+                b_hh = self.param(f"l{layer}_d{direction}_b_hh", nn.initializers.zeros, (3 * H,))
+
+                seq = x if direction == 0 else x[:, ::-1, :]
+
+                def step(h, xt, w_ih=w_ih, w_hh=w_hh, b_ih=b_ih, b_hh=b_hh):
+                    gi = xt @ w_ih.T + b_ih
+                    gh = h @ w_hh.T + b_hh
+                    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+                    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+                    r = jax.nn.sigmoid(i_r + h_r)
+                    z = jax.nn.sigmoid(i_z + h_z)
+                    n = jnp.tanh(i_n + r * h_n)
+                    h_new = (1.0 - z) * n + z * h
+                    return h_new, h_new
+
+                h0 = jnp.zeros((x.shape[0], H), dtype=x.dtype)
+                _, ys = jax.lax.scan(step, h0, jnp.swapaxes(seq, 0, 1))
+                ys = jnp.swapaxes(ys, 0, 1)
+                if direction == 1:
+                    ys = ys[:, ::-1, :]
+                outs.append(ys)
+            x = jnp.concatenate(outs, axis=-1)
+        return x
+
+
+class RMVPE(nn.Module):
+    """mel ``[B, 128, T]`` → salience ``[B, T, 360]`` (T % 32 == 0)."""
+
+    config: RMVPEConfig = RMVPEConfig()
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        assert mel.shape[1] == N_MELS, f"expected [B, {N_MELS}, T], got {mel.shape}"
+        assert mel.shape[2] % 32 == 0, "RMVPE frame count must be a multiple of 32"
+
+        x = jnp.swapaxes(mel, 1, 2)[..., None]  # [B, T, 128, 1] NHWC
+        x = DeepUnet(cfg, name="unet")(x)
+        x = nn.Conv(3, (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype, name="cnn")(x)
+        # [B, T, 128, 3] → [B, T, 384] (torch flattens channel-major: C×W)
+        x = jnp.swapaxes(x, 2, 3).reshape(x.shape[0], x.shape[1], 3 * N_MELS)
+        x = BiGRU(cfg.gru_hidden, cfg.n_gru, dtype=cfg.dtype, name="gru")(x)
+        x = nn.Dense(N_CLASS, dtype=cfg.dtype, name="fc")(x)
+        return jax.nn.sigmoid(x).astype(jnp.float32)
