@@ -1,0 +1,333 @@
+"""The jitted per-chunk conversion step and offline conversion driver.
+
+This is the TPU-native fusion of the reference's entire hot path — one XLA
+executable per chunk instead of three ONNX sessions + Rust DSP + two pipe
+crossings (SURVEY §3.3):
+
+    48k ring slide             lib.rs:662-665
+    → 16k resample + ring      lib.rs:669-683
+    → ContentVec + 2× upsample rvc.rs:151, 99-109
+    → RMVPE mel→salience→f0    rmvpe.rs:250-261
+    → pitch cache slide/slice  rvc.rs:164-182
+    → (retrieval blend)        rvc.rs:159 "TODO: index search" — implemented
+    → synthesizer              rvc.rs:193-215
+    → upsample to device rate  lib.rs:742-756
+    → RMS envelope mix         lib.rs:758-765
+    → SOLA align + crossfade   lib.rs:768-791
+
+Everything is static-shape; live controls (pitch shift, mix rates, speaker)
+are traced scalars so changing them never recompiles (reference tier-1
+settings, SURVEY §5 config).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from obs_rvc_tpu.config import ChunkConfig, RMVPE_HOP, ZC_16K, RvcModelVersion
+from obs_rvc_tpu.dsp import (
+    MelSpectrogram,
+    decode_f0,
+    envelope_mixing,
+    get_f0_post,
+    median_filter_f0,
+    resample_poly,
+    sola_crossfade,
+    sola_offset,
+)
+from obs_rvc_tpu.dsp.f0 import apply_pitch_shift
+from obs_rvc_tpu.dsp.window import fade_windows
+from obs_rvc_tpu.models import (
+    ContentVec,
+    ContentVecConfig,
+    RMVPE,
+    RMVPEConfig,
+    Synthesizer,
+    SynthesizerConfig,
+)
+from obs_rvc_tpu.models.contentvec import extract_feature, feature_frames
+from obs_rvc_tpu.stream.state import StreamState
+
+
+def slide_pitch_cache(
+    cache: jnp.ndarray,
+    f0: jnp.ndarray,
+    shift: int,
+) -> jnp.ndarray:
+    """Slide the 1024-entry f0 cache left by ``shift`` frames and write the
+    new chunk's pitch track ``f0[3 : len-1]`` at offset ``1024 + 4 - len``
+    (``rvc/src/rvc.rs:164-182``; the left-shift keeps ``copy_within``
+    semantics — the vacated tail holds stale values until overwritten)."""
+    pitch_len = f0.shape[0]
+    cache = jnp.concatenate([cache[shift:], cache[-shift:]])
+    cache_start = cache.shape[0] + 4 - pitch_len
+    return cache.at[cache_start:].set(f0[3 : pitch_len - 1])
+
+
+@struct.dataclass
+class StepControls:
+    """Live (tier-1) per-chunk controls — traced, never recompile
+    (reference hot-reload semantics, ``obs-rvc/src/lib.rs:440-462``)."""
+
+    pitch_shift: jnp.ndarray      # semitones, float
+    rms_mix_rate: jnp.ndarray     # 0..1 (1 = no envelope mixing)
+    index_rate: jnp.ndarray       # 0..1 retrieval blend
+    sid: jnp.ndarray              # int32 speaker id
+
+    @staticmethod
+    def default(
+        pitch_shift: float = 0.0,
+        rms_mix_rate: float = 1.0,
+        index_rate: float = 0.0,
+        sid: int = 0,
+    ) -> "StepControls":
+        return StepControls(
+            pitch_shift=jnp.float32(pitch_shift),
+            rms_mix_rate=jnp.float32(rms_mix_rate),
+            index_rate=jnp.float32(index_rate),
+            sid=jnp.int32(sid),
+        )
+
+
+class RvcPipeline:
+    """Bundles model definitions + chunk geometry into jitted step functions.
+
+    The equivalent of the reference's engine+filter pair, minus all mutable
+    machinery. Parameters are a plain pytree dict
+    ``{"contentvec": ..., "rmvpe": ..., "synthesizer": ...}`` so they can be
+    sharded with ``jax.device_put`` / NamedSharding.
+    """
+
+    def __init__(
+        self,
+        cfg: ChunkConfig,
+        version: RvcModelVersion = RvcModelVersion.V2,
+        f0_median_radius: int = 0,
+        retrieval_index: Optional[Any] = None,
+        compute_dtype: jnp.dtype = jnp.float32,
+    ):
+        self.cfg = cfg
+        self.version = version
+        self.f0_median_radius = f0_median_radius
+        self.retrieval_index = retrieval_index
+
+        self.contentvec_cfg = (
+            ContentVecConfig.v1() if version is RvcModelVersion.V1 else ContentVecConfig.v2()
+        )
+        self.contentvec_cfg = dataclasses.replace(self.contentvec_cfg, dtype=compute_dtype)
+        self.rmvpe_cfg = RMVPEConfig(dtype=compute_dtype)
+        self.synth_cfg = dataclasses.replace(
+            SynthesizerConfig.for_sample_rate(
+                cfg.model_sample_rate if not cfg.skip_inference else 40000,
+                feature_dim=version.text_encoder_in_channels,
+            ),
+            dtype=compute_dtype,
+        )
+
+        self.contentvec = ContentVec(self.contentvec_cfg)
+        self.rmvpe = RMVPE(self.rmvpe_cfg)
+        self.synthesizer = Synthesizer(self.synth_cfg)
+        self.mel = MelSpectrogram()
+
+        self._fade_in, self._fade_out = fade_windows(cfg.sola_buffer_frame_size)
+
+        # hubert_length as the reference computes it (rvc.rs:153):
+        # min(16k samples / 160, feature frames after 2x upsample)
+        t50 = feature_frames(cfg.input_buffer_16k_size)
+        self.feature_frames_100hz = 2 * t50 + 1
+        self.hubert_length = min(
+            cfg.input_buffer_16k_size // ZC_16K, self.feature_frames_100hz
+        )
+        cfg.validate()
+        assert cfg.skip_head + cfg.return_length <= self.feature_frames_100hz
+
+    # ------------------------------------------------------------------
+    # parameter initialization
+    # ------------------------------------------------------------------
+
+    def init_params(self, rng: jax.Array) -> dict:
+        """Random-init parameter pytree (tests / benchmarking; real use loads
+        converted checkpoints via obs_rvc_tpu.models.weights)."""
+        cfg = self.cfg
+        r1, r2, r3 = jax.random.split(rng, 3)
+        wav16 = jnp.zeros((1, cfg.input_buffer_16k_size))
+        mel = jnp.zeros((1, 128, cfg.rmvpe_n_frames))
+        T = cfg.return_length
+        phone = jnp.zeros((1, T, self.version.text_encoder_in_channels))
+        pitch = jnp.ones((1, T), jnp.int32)
+        pitchf = jnp.zeros((1, T))
+        sid = jnp.zeros((1,), jnp.int32)
+        return {
+            "contentvec": self.contentvec.init(r1, wav16),
+            "rmvpe": self.rmvpe.init(r2, mel),
+            "synthesizer": self.synthesizer.init(r3, phone, pitch, pitchf, sid),
+        }
+
+    # ------------------------------------------------------------------
+    # the per-chunk step (single stream; vmap for batches)
+    # ------------------------------------------------------------------
+
+    def step(
+        self,
+        params: dict,
+        state: StreamState,
+        chunk: jnp.ndarray,            # [sample_frame_size] device rate mono
+        controls: StepControls,
+        rnd: Optional[jnp.ndarray] = None,  # [T, 192] prior noise (None → zeros)
+    ) -> tuple[StreamState, jnp.ndarray]:
+        cfg = self.cfg
+
+        # --- ring buffer slides (lib.rs:662-683) ---
+        buf = jnp.concatenate([state.input_buffer[cfg.sample_frame_size :], chunk])
+
+        window = buf[-cfg.downsample_window :]
+        res16 = resample_poly(window, cfg.sample_rate, 16000)
+        keep = cfg.downsample_keep_16k
+        buf16 = jnp.concatenate(
+            [
+                state.input_buffer_16k[cfg.sample_frame_16k_size : cfg.input_buffer_16k_size - (keep - cfg.sample_frame_16k_size)],
+                res16[-keep:],
+            ]
+        )
+
+        if cfg.skip_inference:
+            # passthrough (lib.rs:697-699): emit the 16 kHz buffer tail; the
+            # engine (and its pitch cache) is not touched in this mode
+            model_out = buf16[-cfg.model_return_size :]
+            new_cache = state.cache_pitchf
+        else:
+            model_out, new_cache = self._infer(params, state, buf16, controls, rnd)
+
+        # --- upsample model output to device rate (lib.rs:742-756) ---
+        out = resample_poly(model_out, cfg.model_sample_rate, cfg.sample_rate)
+
+        # --- RMS envelope mixing (lib.rs:758-765) ---
+        out = envelope_mixing(
+            buf[cfg.extra_frame_size :], out, cfg.sample_rate, controls.rms_mix_rate
+        )
+
+        # --- SOLA (lib.rs:768-791) ---
+        offset = sola_offset(
+            out, state.sola_buffer, cfg.sola_buffer_frame_size, cfg.sola_search_frame_size
+        )
+        emitted, new_sola = sola_crossfade(
+            out, state.sola_buffer, offset, self._fade_in, self._fade_out, cfg.sample_frame_size
+        )
+
+        new_state = StreamState(
+            input_buffer=buf,
+            input_buffer_16k=buf16,
+            sola_buffer=new_sola,
+            cache_pitchf=new_cache,
+        )
+        return new_state, emitted
+
+    # --- neural stages -------------------------------------------------
+
+    def _infer(
+        self,
+        params: dict,
+        state: StreamState,
+        buf16: jnp.ndarray,
+        controls: StepControls,
+        rnd: Optional[jnp.ndarray],
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+
+        # ContentVec features at 100 Hz (rvc.rs:151,99-109)
+        feats50 = self.contentvec.apply(params["contentvec"], buf16[None, :])
+        feats = extract_feature(feats50)  # [1, 2T+1, C]
+        phone = jax.lax.dynamic_slice_in_dim(feats, cfg.skip_head, cfg.return_length, axis=1)
+
+        # retrieval blend — the reference's TODO (rvc.rs:159), done here
+        if self.retrieval_index is not None:
+            phone = self.retrieval_index.blend(params.get("index"), phone, controls.index_rate)
+
+        # RMVPE pitch (rmvpe.rs:250-261) + cache (rvc.rs:164-182)
+        new_cache, pitch, pitchf = self._pitch_cache_update(
+            state.cache_pitchf, buf16, controls, params
+        )
+
+        audio = self.synthesizer.apply(
+            params["synthesizer"],
+            phone,
+            pitch[None, :],
+            pitchf[None, :],
+            controls.sid[None],
+            rnd[None] if rnd is not None else None,
+        )
+        return audio[0], new_cache
+
+    def _pitch_cache_update(
+        self,
+        cache: jnp.ndarray,
+        buf16: jnp.ndarray,
+        controls: StepControls,
+        params: dict,
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        # mel → salience → f0 for the cropped RMVPE window (rmvpe.rs:256-260)
+        rm_in = buf16[-cfg.rmvpe_frame_16k :]
+        mel = self.mel(rm_in)  # [128, T]
+        salience = self.rmvpe.apply(params["rmvpe"], mel[None])[0]  # [T, 360]
+        f0 = decode_f0(salience, threshold=0.03)
+        f0 = apply_pitch_shift(f0, controls.pitch_shift)
+        if self.f0_median_radius >= 3:
+            f0 = median_filter_f0(f0, self.f0_median_radius)
+
+        # sliding cache (rvc.rs:164-182)
+        shift = cfg.sample_frame_16k_size // RMVPE_HOP
+        cache = slide_pitch_cache(cache, f0, shift)
+
+        start = cfg.pitch_cache_len - self.hubert_length + cfg.skip_head
+        pitchf = jax.lax.dynamic_slice_in_dim(cache, start, cfg.return_length)
+        pitch, pitchf = get_f0_post(pitchf)
+        return cache, pitch, pitchf
+
+    # ------------------------------------------------------------------
+    # jitted entry points
+    # ------------------------------------------------------------------
+
+    @functools.cached_property
+    def jit_step(self):
+        """Single-stream jitted step with donated state."""
+        return jax.jit(self.step, donate_argnums=(1,))
+
+    @functools.cached_property
+    def jit_step_batch(self):
+        """Batched (DP) jitted step: state/chunk/controls carry a leading
+        stream axis, params are broadcast."""
+        vstep = jax.vmap(self.step, in_axes=(None, 0, 0, 0), out_axes=0)
+        return jax.jit(vstep, donate_argnums=(1,))
+
+    # ------------------------------------------------------------------
+    # offline conversion (BASELINE config 1: single-utterance convert)
+    # ------------------------------------------------------------------
+
+    def convert_offline(
+        self,
+        params: dict,
+        wav: jnp.ndarray,
+        controls: Optional[StepControls] = None,
+    ) -> jnp.ndarray:
+        """Convert a whole utterance by streaming it chunk-by-chunk; returns
+        device-rate audio of the same length (rounded down to whole chunks)."""
+        cfg = self.cfg
+        if controls is None:
+            controls = StepControls.default()
+        n_chunks = wav.shape[0] // cfg.sample_frame_size
+        state = StreamState.init(cfg)
+        outs = []
+        for i in range(n_chunks):
+            chunk = jax.lax.dynamic_slice_in_dim(
+                wav, i * cfg.sample_frame_size, cfg.sample_frame_size
+            )
+            state, out = self.jit_step(params, state, chunk, controls)
+            outs.append(out)
+        return jnp.concatenate(outs) if outs else jnp.zeros((0,), jnp.float32)
