@@ -1,0 +1,102 @@
+"""Benchmark: sustained single-stream streaming conversion on one chip.
+
+Measures per-chunk step latency of the full fused pipeline (ContentVec →
+RMVPE → synthesizer → resample/RMS/SOLA) at the reference's default geometry
+(48 kHz stream, 0.3 s chunks, 2 s context, RVC v2 40k). Prints ONE JSON
+line: p50 chunk latency in ms against the 80 ms BASELINE target
+(vs_baseline > 1 means faster than target).
+
+Real-time budget context: the reference must finish a chunk in < 300 ms
+(sample_length) to keep up (obs-rvc/src/lib.rs:179,830); BASELINE.md sets
+<80 ms p50 on one chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import time
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    parser.add_argument("--batch", type=int, default=1, help="concurrent streams (DP on one chip)")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from obs_rvc_tpu.config import StreamSettings
+    from obs_rvc_tpu.stream import RvcPipeline, StepControls, StreamState
+
+    cfg = StreamSettings().chunk_config(48000)
+    pipe = RvcPipeline(cfg, compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+    params = jax.device_put(pipe.init_params_fast(0))
+
+    rng = np.random.default_rng(0)
+    controls1 = StepControls.default(pitch_shift=12.0, rms_mix_rate=0.5)
+
+    B = args.batch
+    if B == 1:
+        state = StreamState.init(cfg)
+        step = pipe.jit_step
+        controls = controls1
+        make_chunk = lambda: jnp.asarray(
+            rng.standard_normal(cfg.sample_frame_size).astype(np.float32) * 0.1
+        )
+    else:
+        state = StreamState.init_batch(cfg, B)
+        step = pipe.jit_step_batch
+        controls = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), controls1)
+        make_chunk = lambda: jnp.asarray(
+            rng.standard_normal((B, cfg.sample_frame_size)).astype(np.float32) * 0.1
+        )
+
+    # warmup / compile
+    for _ in range(args.warmup):
+        state, out = step(params, state, make_chunk(), controls)
+    jax.block_until_ready(out)
+
+    times = []
+    for _ in range(args.steps):
+        chunk = make_chunk()
+        jax.block_until_ready(chunk)
+        t0 = time.perf_counter()
+        state, out = step(params, state, chunk, controls)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) * 1000.0)
+
+    p50 = statistics.median(times)
+    p95 = sorted(times)[max(0, int(len(times) * 0.95) - 1)]
+    chunk_s = cfg.sample_frame_size / cfg.sample_rate
+    rtf = (p50 / 1000.0) / chunk_s  # <1 = realtime
+    audio_s_per_s = B * chunk_s / (p50 / 1000.0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "chunk_p50_ms",
+                "value": round(p50, 3),
+                "unit": "ms",
+                "vs_baseline": round(80.0 / p50, 3),
+                "extra": {
+                    "p95_ms": round(p95, 3),
+                    "rtf": round(rtf, 4),
+                    "audio_seconds_per_second": round(audio_s_per_s, 2),
+                    "batch": B,
+                    "dtype": args.dtype,
+                    "chunk_ms": chunk_s * 1000.0,
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -20,9 +20,12 @@ def rms_envelope(y: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndar
     padding = frame_length // 2
     y2 = jnp.pad(y * y, ((padding, padding),))
     n_frames = (y2.shape[0] - frame_length) // hop_length + 1
+    # windowed means via prefix sums (gather of 2·n_frames scalars instead of
+    # an [n_frames, frame_length] window gather — TPU-friendly)
+    csum = jnp.cumsum(jnp.concatenate([jnp.zeros((1,), y2.dtype), y2]))
     starts = jnp.arange(n_frames) * hop_length
-    idx = starts[:, None] + jnp.arange(frame_length)[None, :]
-    return jnp.sqrt(jnp.mean(y2[idx], axis=1))
+    sums = csum[starts + frame_length] - csum[starts]
+    return jnp.sqrt(sums / frame_length)
 
 
 def linear_interpolate_align_corners(x: jnp.ndarray, size: int) -> jnp.ndarray:

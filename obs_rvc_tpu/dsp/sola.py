@@ -31,14 +31,25 @@ def sola_offset(
     maximized over k (``rt_utils.rs:60-90``; note ndarray_conv's "Valid conv"
     is cross-correlation — no kernel flip — per the reference's own test
     ``obs-rvc/src/tests/sola.rs`` expecting 321).
+
+    TPU note: formulated as a VALID convolution (numerator) + prefix-sum
+    window energies (denominator) — no ``[search+1, buffer]`` gather, which
+    would serialize on the TPU scatter/gather unit.
     """
     n_offsets = search_frame_size + 1
-    starts = jnp.arange(n_offsets)
-    idx = starts[:, None] + jnp.arange(buffer_frame_size)[None, :]
-    windows = output_wav[idx]  # [search+1, buffer]
+    conv_input = output_wav[: buffer_frame_size + search_frame_size]
 
-    cor_nom = jnp.dot(windows, sola_buffer, preferred_element_type=jnp.float32)
-    cor_den = jnp.sqrt(jnp.sum(windows * windows, axis=1) + 1e-8)
+    cor_nom = jax.lax.conv_general_dilated(
+        conv_input[None, None, :],
+        sola_buffer[None, None, :],
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )[0, 0]  # [search+1]
+
+    csum = jnp.cumsum(jnp.concatenate([jnp.zeros((1,)), conv_input * conv_input]))
+    energy = csum[buffer_frame_size:] - csum[:n_offsets]
+    cor_den = jnp.sqrt(energy + 1e-8)
     return jnp.argmax(cor_nom / cor_den).astype(jnp.int32)
 
 

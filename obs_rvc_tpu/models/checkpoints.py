@@ -1,0 +1,93 @@
+"""High-level checkpoint loading for the pipeline.
+
+The reference locates artifacts under its data dir (``contentvec``, ``f0``,
+``cache`` + user model path — ``rvc/src/rvc.rs:46-75``); here each stage
+loads from an explicit path, falling back to random init (useful for
+benchmarks and tests), with converted trees shape-checked against the model
+before use.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Any, Optional
+
+import jax
+
+from obs_rvc_tpu.models import weights as W
+
+
+def _torch_load(path: str | pathlib.Path) -> Any:
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def load_contentvec_params(path: str | pathlib.Path, num_layers: int, final_proj: bool) -> dict:
+    """fairseq ContentVec/HuBERT ``.pt`` → ContentVec variables."""
+    ckpt = _torch_load(path)
+    sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    # fairseq prefixes with the wrapper module name sometimes
+    sd = {k.removeprefix("hubert.").removeprefix("model."): v for k, v in sd.items()}
+    return W.convert_contentvec(sd, num_layers=num_layers, final_proj=final_proj)
+
+
+def load_rmvpe_params(path: str | pathlib.Path) -> dict:
+    ckpt = _torch_load(path)
+    sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    return W.convert_rmvpe(sd)
+
+
+def load_synthesizer_params(path: str | pathlib.Path) -> tuple[dict, dict]:
+    """RVC ``.pth`` → (Synthesizer variables, metadata). Metadata includes
+    ``sr`` / ``f0`` / ``version`` when the checkpoint carries them (the small
+    RVC release format)."""
+    ckpt = _torch_load(path)
+    meta = {}
+    sd = ckpt
+    if isinstance(ckpt, dict) and "weight" in ckpt:
+        sd = ckpt["weight"]
+        meta = {k: v for k, v in ckpt.items() if k != "weight"}
+    return W.convert_synthesizer(sd), meta
+
+
+def load_pipeline_params(
+    pipeline,
+    contentvec_path: Optional[str] = None,
+    rmvpe_path: Optional[str] = None,
+    synthesizer_path: Optional[str] = None,
+    index_path: Optional[str] = None,
+    rng: Optional[jax.Array] = None,
+    strict_shapes: bool = True,
+) -> dict:
+    """Assemble the full params pytree, converting what's provided and
+    random-initializing the rest."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    params = pipeline.init_params(rng)
+
+    if contentvec_path:
+        conv = load_contentvec_params(
+            contentvec_path,
+            num_layers=pipeline.contentvec_cfg.num_layers,
+            final_proj=pipeline.contentvec_cfg.final_proj,
+        )
+        if strict_shapes:
+            W.assert_tree_shapes_match(conv, params["contentvec"])
+        params["contentvec"] = conv
+    if rmvpe_path:
+        conv = load_rmvpe_params(rmvpe_path)
+        if strict_shapes:
+            W.assert_tree_shapes_match(conv, params["rmvpe"])
+        params["rmvpe"] = conv
+    if synthesizer_path:
+        conv, _meta = load_synthesizer_params(synthesizer_path)
+        if strict_shapes:
+            W.assert_tree_shapes_match(conv, params["synthesizer"])
+        params["synthesizer"] = conv
+    if index_path:
+        from obs_rvc_tpu.retrieval import RetrievalIndex, load_index_vectors
+
+        params["index"] = RetrievalIndex.make_params(load_index_vectors(index_path))
+
+    return params

@@ -181,5 +181,7 @@ def extract_feature(features_50hz: jnp.ndarray) -> jnp.ndarray:
     ``[B, T, C] → [B, 2T+1, C]`` with index ``min(k//2, T-1)``
     (``rvc/src/rvc.rs:99-109``; the hubert fixture's 239 = 2*119+1)."""
     B, T, C = features_50hz.shape
-    idx = jnp.minimum(jnp.arange(2 * T + 1) // 2, T - 1)
-    return features_50hz[:, idx, :]
+    # repeat-2 along time (+ trailing copy of the last frame) without a
+    # gather: [B,T,C] → [B,T,2,C] broadcast → [B,2T,C] → append frame T-1
+    doubled = jnp.broadcast_to(features_50hz[:, :, None, :], (B, T, 2, C)).reshape(B, 2 * T, C)
+    return jnp.concatenate([doubled, features_50hz[:, T - 1 :, :]], axis=1)

@@ -137,14 +137,15 @@ class BiGRU(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, C] → [B, T, 2H]
         H = self.hidden
+        x = x.astype(self.dtype)
         for layer in range(self.num_layers):
             outs = []
             for direction in (0, 1):
                 in_dim = x.shape[-1]
-                w_ih = self.param(f"l{layer}_d{direction}_w_ih", nn.initializers.lecun_normal(), (3 * H, in_dim))
-                w_hh = self.param(f"l{layer}_d{direction}_w_hh", nn.initializers.orthogonal(), (3 * H, H))
-                b_ih = self.param(f"l{layer}_d{direction}_b_ih", nn.initializers.zeros, (3 * H,))
-                b_hh = self.param(f"l{layer}_d{direction}_b_hh", nn.initializers.zeros, (3 * H,))
+                w_ih = self.param(f"l{layer}_d{direction}_w_ih", nn.initializers.lecun_normal(), (3 * H, in_dim)).astype(self.dtype)
+                w_hh = self.param(f"l{layer}_d{direction}_w_hh", nn.initializers.orthogonal(), (3 * H, H)).astype(self.dtype)
+                b_ih = self.param(f"l{layer}_d{direction}_b_ih", nn.initializers.zeros, (3 * H,)).astype(self.dtype)
+                b_hh = self.param(f"l{layer}_d{direction}_b_hh", nn.initializers.zeros, (3 * H,)).astype(self.dtype)
 
                 seq = x if direction == 0 else x[:, ::-1, :]
 
@@ -159,7 +160,7 @@ class BiGRU(nn.Module):
                     h_new = (1.0 - z) * n + z * h
                     return h_new, h_new
 
-                h0 = jnp.zeros((x.shape[0], H), dtype=x.dtype)
+                h0 = jnp.zeros((x.shape[0], H), dtype=self.dtype)
                 _, ys = jax.lax.scan(step, h0, jnp.swapaxes(seq, 0, 1))
                 ys = jnp.swapaxes(ys, 0, 1)
                 if direction == 1:

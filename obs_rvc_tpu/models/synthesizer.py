@@ -379,7 +379,9 @@ class GeneratorNSF(nn.Module):
         upp = cfg.upp
         nk = len(cfg.resblock_kernel_sizes)
 
+        # SourceModuleHnNSF: SineGen → linear merge → tanh (harmonic_num=0)
         har = sine_source(f0, upp, cfg.sample_rate, rng)[..., None]  # [B, L, 1]
+        har = jnp.tanh(nn.Dense(1, dtype=cfg.dtype, name="source_linear")(har.astype(cfg.dtype)))
 
         x = nn.Conv(cfg.upsample_initial_channel, (7,), padding=((3, 3),),
                     dtype=cfg.dtype, name="conv_pre")(x.astype(cfg.dtype))

@@ -1,0 +1,409 @@
+"""Checkpoint converters: PyTorch RVC/HuBERT/RMVPE state dicts → JAX pytrees.
+
+The reference consumes ``.onnx`` exports of these models
+(``/root/reference/rvc/src/models.rs:48-76``); we consume the upstream torch
+checkpoints directly (``.pth``/``.pt``, loaded with torch CPU) and convert to
+the parameter layout of :mod:`obs_rvc_tpu.models`.
+
+Layout transforms (documented once, applied everywhere):
+
+- Linear:          torch ``[out, in]``        → Dense kernel ``[in, out]`` (transpose)
+- Conv1d:          torch ``[out, in, k]``     → flax Conv ``[k, in, out]``
+- Conv1d 1×1:      torch ``[out, in, 1]``     → Dense kernel ``[in, out]``
+  (we implement VITS 1×1 convs as Dense)
+- Conv2d:          torch ``[out, in, kh, kw]``→ flax Conv ``[kh, kw, in, out]``
+- ConvTranspose1d: torch ``[in, out, k]``     → ``ConvTranspose1dTorch`` kernel
+  ``[k, in, out]`` **spatially flipped** (see ``layers.conv_transpose_torch``)
+- ConvTranspose2d: torch ``[in, out, kh, kw]``→ ``[kh, kw, in, out]`` flipped
+- Embedding:       torch ``[n, d]``           → flax Embed ``embedding`` (copy)
+- BatchNorm:       running stats + affine copied; eval-mode only
+- weight_norm:     folded at load: ``w = g * v / ||v||`` (norm over all dims
+  except dim 0, torch's default)
+- torch GRU:       ``weight_ih_l0`` etc. copied verbatim (our BiGRU keeps
+  torch gate layout)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def _np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    return t.detach().cpu().numpy().astype(np.float32)
+
+
+def fold_weight_norm(sd: Mapping[str, Any], prefix: str) -> np.ndarray:
+    """Return the effective weight for ``prefix`` whether stored plain
+    (``prefix.weight``) or weight-normed (``weight_g``/``weight_v``;
+    also the parametrized ``parametrizations.weight.original{0,1}``)."""
+    if f"{prefix}.weight" in sd:
+        return _np(sd[f"{prefix}.weight"])
+    if f"{prefix}.weight_g" in sd:
+        g = _np(sd[f"{prefix}.weight_g"])
+        v = _np(sd[f"{prefix}.weight_v"])
+    elif f"{prefix}.parametrizations.weight.original0" in sd:
+        g = _np(sd[f"{prefix}.parametrizations.weight.original0"])
+        v = _np(sd[f"{prefix}.parametrizations.weight.original1"])
+    else:
+        raise KeyError(f"no weight found for {prefix}")
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt(np.sum(v * v, axis=axes, keepdims=True))
+    return g * v / np.maximum(norm, 1e-12)
+
+
+def linear(sd, prefix, bias=True) -> dict:
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if bias and f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def conv1x1_as_dense(sd, prefix, weight_normed=False, bias=True) -> dict:
+    w = fold_weight_norm(sd, prefix) if weight_normed else _np(sd[f"{prefix}.weight"])
+    out = {"kernel": w[:, :, 0].T}
+    if bias and f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def conv1d(sd, prefix, weight_normed=False, bias=True) -> dict:
+    w = fold_weight_norm(sd, prefix) if weight_normed else _np(sd[f"{prefix}.weight"])
+    out = {"kernel": np.transpose(w, (2, 1, 0))}  # [out,in,k] → [k,in,out]
+    if bias and f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def conv2d(sd, prefix, bias=True) -> dict:
+    w = _np(sd[f"{prefix}.weight"])  # [out,in,kh,kw]
+    out = {"kernel": np.transpose(w, (2, 3, 1, 0))}
+    if bias and f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def conv_transpose1d(sd, prefix, weight_normed=False, bias=True) -> dict:
+    w = fold_weight_norm(sd, prefix) if weight_normed else _np(sd[f"{prefix}.weight"])
+    # torch [in, out, k] → flip k → [k, in, out]
+    out = {"kernel": np.transpose(w[:, :, ::-1], (2, 0, 1)).copy()}
+    if bias and f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def conv_transpose2d(sd, prefix, bias=True) -> dict:
+    w = _np(sd[f"{prefix}.weight"])  # [in, out, kh, kw]
+    out = {"kernel": np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1)).copy()}
+    if bias and f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def layer_norm(sd, prefix) -> dict:
+    # VITS LayerNorm stores gamma/beta; torch nn.LayerNorm weight/bias
+    if f"{prefix}.gamma" in sd:
+        return {"scale": _np(sd[f"{prefix}.gamma"]), "bias": _np(sd[f"{prefix}.beta"])}
+    return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def batch_norm(sd, prefix) -> tuple[dict, dict]:
+    """(params, batch_stats) pair for flax nn.BatchNorm."""
+    params = {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+    stats = {
+        "mean": _np(sd[f"{prefix}.running_mean"]),
+        "var": _np(sd[f"{prefix}.running_var"]),
+    }
+    return params, stats
+
+
+def embedding(sd, prefix) -> dict:
+    return {"embedding": _np(sd[f"{prefix}.weight"])}
+
+
+def mha_from_separate_qkv(sd, prefix, num_heads: int) -> dict:
+    """fairseq self_attn (separate {q,k,v,out}_proj Linears) → flax
+    MultiHeadDotProductAttention param tree.
+
+    flax kernels: q/k/v ``[in, heads, head_dim]``, out ``[heads, head_dim, out]``.
+    """
+    qw = _np(sd[f"{prefix}.q_proj.weight"])  # [E, E]
+    kw = _np(sd[f"{prefix}.k_proj.weight"])
+    vw = _np(sd[f"{prefix}.v_proj.weight"])
+    ow = _np(sd[f"{prefix}.out_proj.weight"])
+    E = qw.shape[0]
+    H = num_heads
+    D = E // H
+
+    def in_proj(w, b):
+        return {
+            "kernel": w.T.reshape(E, H, D),
+            "bias": b.reshape(H, D),
+        }
+
+    return {
+        "query": in_proj(qw, _np(sd[f"{prefix}.q_proj.bias"])),
+        "key": in_proj(kw, _np(sd[f"{prefix}.k_proj.bias"])),
+        "value": in_proj(vw, _np(sd[f"{prefix}.v_proj.bias"])),
+        "out": {
+            "kernel": ow.T.reshape(H, D, E),
+            "bias": _np(sd[f"{prefix}.out_proj.bias"]),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# ContentVec / HuBERT
+# ---------------------------------------------------------------------------
+
+
+def convert_contentvec(state_dict: Mapping[str, Any], num_layers: int, num_heads: int = 12,
+                       final_proj: bool = False) -> dict:
+    """fairseq HuBERT/ContentVec state dict → ContentVec variables.
+
+    Expected key families (fairseq HubertModel):
+    ``feature_extractor.conv_layers.{i}.0.weight`` (+``.2.{weight,bias}``
+    group norm on layer 0), ``layer_norm``, ``post_extract_proj``,
+    ``encoder.pos_conv.0``, ``encoder.layer_norm``,
+    ``encoder.layers.{i}.{self_attn,self_attn_layer_norm,fc1,fc2,final_layer_norm}``,
+    optional ``final_proj``.
+    """
+    sd = dict(state_dict)
+    p: dict[str, Any] = {}
+
+    fe: dict[str, Any] = {}
+    for i in range(7):
+        w = _np(sd[f"feature_extractor.conv_layers.{i}.0.weight"])  # [out,in,k]
+        fe[f"conv_{i}"] = {"kernel": np.transpose(w, (2, 1, 0))}
+    # group norm after conv 0 (fairseq stores at .2 inside the layer module)
+    fe["group_norm"] = {
+        "scale": _np(sd["feature_extractor.conv_layers.0.2.weight"]),
+        "bias": _np(sd["feature_extractor.conv_layers.0.2.bias"]),
+    }
+    p["feature_extractor"] = fe
+
+    p["post_extract_ln"] = layer_norm(sd, "layer_norm")
+    p["post_extract_proj"] = linear(sd, "post_extract_proj")
+
+    pos_w = fold_weight_norm(sd, "encoder.pos_conv.0")  # [out, in/groups, k]
+    p["pos_conv"] = {
+        "pos_conv": {
+            "kernel": np.transpose(pos_w, (2, 1, 0)),
+            "bias": _np(sd["encoder.pos_conv.0.bias"]),
+        }
+    }
+    p["encoder_ln"] = layer_norm(sd, "encoder.layer_norm")
+
+    for i in range(num_layers):
+        pre = f"encoder.layers.{i}"
+        p[f"layer_{i}"] = {
+            "attn": mha_from_separate_qkv(sd, f"{pre}.self_attn", num_heads),
+            "attn_ln": layer_norm(sd, f"{pre}.self_attn_layer_norm"),
+            "fc1": linear(sd, f"{pre}.fc1"),
+            "fc2": linear(sd, f"{pre}.fc2"),
+            "ffn_ln": layer_norm(sd, f"{pre}.final_layer_norm"),
+        }
+
+    if final_proj:
+        p["final_proj"] = linear(sd, "final_proj")
+
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# RMVPE
+# ---------------------------------------------------------------------------
+
+
+def _conv_block_res(sd, prefix) -> tuple[dict, dict]:
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+    params["conv1"] = conv2d(sd, f"{prefix}.conv.0", bias=False)
+    params["bn1"], stats["bn1"] = batch_norm(sd, f"{prefix}.conv.1")
+    params["conv2"] = conv2d(sd, f"{prefix}.conv.3", bias=False)
+    params["bn2"], stats["bn2"] = batch_norm(sd, f"{prefix}.conv.4")
+    if f"{prefix}.shortcut.weight" in sd:
+        params["shortcut"] = conv2d(sd, f"{prefix}.shortcut")
+    return params, stats
+
+
+def _res_encoder_block(sd, prefix, n_blocks) -> tuple[dict, dict]:
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+    for j in range(n_blocks):
+        params[f"block_{j}"], stats[f"block_{j}"] = _conv_block_res(sd, f"{prefix}.conv.{j}")
+    return params, stats
+
+
+def convert_rmvpe(state_dict: Mapping[str, Any], n_blocks: int = 4, en_de_layers: int = 5,
+                  inter_layers: int = 4) -> dict:
+    """RMVPE ``E2E`` torch checkpoint → RMVPE variables (params+batch_stats)."""
+    sd = {k.removeprefix("model."): v for k, v in dict(state_dict).items()}
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    unet_p: dict[str, Any] = {}
+    unet_s: dict[str, Any] = {}
+    unet_p["in_bn"], unet_s["in_bn"] = batch_norm(sd, "unet.encoder.bn")
+    for i in range(en_de_layers):
+        unet_p[f"encoder_{i}"], unet_s[f"encoder_{i}"] = _res_encoder_block(
+            sd, f"unet.encoder.layers.{i}", n_blocks
+        )
+    for i in range(inter_layers):
+        unet_p[f"intermediate_{i}"], unet_s[f"intermediate_{i}"] = _res_encoder_block(
+            sd, f"unet.intermediate.layers.{i}", n_blocks
+        )
+    for i in range(en_de_layers):
+        pre = f"unet.decoder.layers.{i}"
+        dp: dict[str, Any] = {}
+        ds: dict[str, Any] = {}
+        dp["up"] = conv_transpose2d(sd, f"{pre}.conv1.0", bias=False)
+        dp["bn"], ds["bn"] = batch_norm(sd, f"{pre}.conv1.1")
+        for j in range(n_blocks):
+            dp[f"block_{j}"], ds[f"block_{j}"] = _conv_block_res(sd, f"{pre}.conv2.{j}")
+        unet_p[f"decoder_{i}"] = dp
+        unet_s[f"decoder_{i}"] = ds
+    params["unet"] = unet_p
+    stats["unet"] = unet_s
+
+    params["cnn"] = conv2d(sd, "cnn")
+
+    gru: dict[str, Any] = {}
+    for d, suffix in ((0, ""), (1, "_reverse")):
+        gru[f"l0_d{d}_w_ih"] = _np(sd[f"fc.0.gru.weight_ih_l0{suffix}"])
+        gru[f"l0_d{d}_w_hh"] = _np(sd[f"fc.0.gru.weight_hh_l0{suffix}"])
+        gru[f"l0_d{d}_b_ih"] = _np(sd[f"fc.0.gru.bias_ih_l0{suffix}"])
+        gru[f"l0_d{d}_b_hh"] = _np(sd[f"fc.0.gru.bias_hh_l0{suffix}"])
+    params["gru"] = gru
+    params["fc"] = linear(sd, "fc.1")
+
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# RVC synthesizer
+# ---------------------------------------------------------------------------
+
+
+def convert_synthesizer(
+    state_dict: Mapping[str, Any],
+    n_layers: int = 6,
+    flow_flows: int = 4,
+    flow_layers: int = 3,
+    n_ups: int = 4,
+    n_resblock_kernels: int = 3,
+) -> dict:
+    """RVC ``SynthesizerTrnMs{256,768}NSFsid`` checkpoint (the small
+    ``weights/*.pth`` with key ``weight``, or a raw state dict) →
+    Synthesizer variables."""
+    sd = dict(state_dict)
+    if "weight" in sd and isinstance(sd["weight"], Mapping):
+        sd = dict(sd["weight"])
+
+    p: dict[str, Any] = {}
+
+    # --- enc_p ---
+    enc: dict[str, Any] = {}
+    enc["emb_phone"] = linear(sd, "enc_p.emb_phone")
+    enc["emb_pitch"] = embedding(sd, "enc_p.emb_pitch")
+    for i in range(n_layers):
+        a = f"enc_p.encoder.attn_layers.{i}"
+        enc[f"attn_{i}"] = {
+            "conv_q": conv1x1_as_dense(sd, f"{a}.conv_q"),
+            "conv_k": conv1x1_as_dense(sd, f"{a}.conv_k"),
+            "conv_v": conv1x1_as_dense(sd, f"{a}.conv_v"),
+            "conv_o": conv1x1_as_dense(sd, f"{a}.conv_o"),
+            "emb_rel_k": _np(sd[f"{a}.emb_rel_k"]),
+            "emb_rel_v": _np(sd[f"{a}.emb_rel_v"]),
+        }
+        enc[f"norm1_{i}"] = layer_norm(sd, f"enc_p.encoder.norm_layers_1.{i}")
+        enc[f"ffn_{i}"] = {
+            "conv_1": conv1d(sd, f"enc_p.encoder.ffn_layers.{i}.conv_1"),
+            "conv_2": conv1d(sd, f"enc_p.encoder.ffn_layers.{i}.conv_2"),
+        }
+        enc[f"norm2_{i}"] = layer_norm(sd, f"enc_p.encoder.norm_layers_2.{i}")
+    enc["proj"] = conv1x1_as_dense(sd, "enc_p.proj")
+    p["enc_p"] = enc
+
+    # --- flow (torch interleaves Flip modules at odd indices) ---
+    flow: dict[str, Any] = {}
+    for i in range(flow_flows):
+        f = f"flow.flows.{2 * i}"
+        wn: dict[str, Any] = {"cond_layer": conv1x1_as_dense(sd, f"{f}.enc.cond_layer", weight_normed=True)}
+        for j in range(flow_layers):
+            wn[f"in_{j}"] = conv1d(sd, f"{f}.enc.in_layers.{j}", weight_normed=True)
+            wn[f"res_skip_{j}"] = conv1x1_as_dense(sd, f"{f}.enc.res_skip_layers.{j}", weight_normed=True)
+        flow[f"flow_{i}"] = {
+            "pre": conv1x1_as_dense(sd, f"{f}.pre"),
+            "post": conv1x1_as_dense(sd, f"{f}.post"),
+            "enc": wn,
+        }
+    p["flow"] = flow
+
+    # --- dec (GeneratorNSF) ---
+    dec: dict[str, Any] = {}
+    dec["conv_pre"] = conv1d(sd, "dec.conv_pre")
+    dec["cond"] = conv1x1_as_dense(sd, "dec.cond")
+    for i in range(n_ups):
+        dec[f"ups_{i}"] = conv_transpose1d(sd, f"dec.ups.{i}", weight_normed=True)
+        nk = f"dec.noise_convs.{i}"
+        w = _np(sd[f"{nk}.weight"])
+        if w.shape[-1] == 1:
+            dec[f"noise_conv_{i}"] = {"kernel": np.transpose(w, (2, 1, 0)),
+                                      "bias": _np(sd[f"{nk}.bias"])}
+        else:
+            dec[f"noise_conv_{i}"] = conv1d(sd, nk)
+        for j in range(n_resblock_kernels):
+            r = f"dec.resblocks.{i * n_resblock_kernels + j}"
+            rb: dict[str, Any] = {}
+            for l in range(3):
+                rb[f"conv1_{l}"] = conv1d(sd, f"{r}.convs1.{l}", weight_normed=True)
+                rb[f"conv2_{l}"] = conv1d(sd, f"{r}.convs2.{l}", weight_normed=True)
+            dec[f"resblock_{i}_{j}"] = rb
+    dec["conv_post"] = conv1d(sd, "dec.conv_post", weight_normed=False, bias=False)
+    # SourceModuleHnNSF merge linear folded into sine_source? No: RVC's
+    # l_linear maps (harmonic_num+1)=1 channel → 1 with tanh; with a single
+    # harmonic this is an affine scale we keep as params for fidelity.
+    if "dec.m_source.l_linear.weight" in sd:
+        dec["source_linear"] = linear(sd, "dec.m_source.l_linear")
+    p["dec"] = dec
+
+    p["emb_g"] = embedding(sd, "emb_g")
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# validation
+# ---------------------------------------------------------------------------
+
+
+def assert_tree_shapes_match(converted: Any, reference: Any, path: str = "") -> None:
+    """Raise with a readable diff when the converted tree's leaf shapes do
+    not match a model-initialized tree (use before serving)."""
+    import jax
+
+    conv_leaves = jax.tree_util.tree_leaves_with_path(converted)
+    ref_map = {
+        jax.tree_util.keystr(k): v.shape for k, v in jax.tree_util.tree_leaves_with_path(reference)
+    }
+    errors = []
+    for k, v in conv_leaves:
+        ks = jax.tree_util.keystr(k)
+        if ks not in ref_map:
+            errors.append(f"unexpected leaf {ks} {v.shape}")
+        elif tuple(ref_map[ks]) != tuple(v.shape):
+            errors.append(f"shape mismatch {ks}: converted {v.shape} vs model {ref_map[ks]}")
+    conv_keys = {jax.tree_util.keystr(k) for k, _ in conv_leaves}
+    for ks in ref_map:
+        if ks not in conv_keys:
+            errors.append(f"missing leaf {ks}")
+    if errors:
+        raise ValueError("checkpoint conversion mismatch:\n  " + "\n  ".join(sorted(errors)))

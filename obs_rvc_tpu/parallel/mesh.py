@@ -1,0 +1,39 @@
+"""Mesh construction for streaming-RVC serving.
+
+Axes:
+- ``data``  — concurrent streams (DP). Scales throughput linearly; rides DCN
+  across hosts (streams are independent, zero cross-stream traffic).
+- ``model`` — tensor parallelism for the encoder/synthesizer/index (TP/EP).
+  Collectives (psum/all_gather from GSPMD) ride ICI within a host/slice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+from jax.sharding import Mesh
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ``('data', 'model')`` mesh over the available devices.
+
+    ``n_data`` defaults to ``len(devices) // n_model``. The model axis is the
+    minor (fastest-varying) axis so TP collectives stay on neighboring chips.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        if len(devices) % n_model:
+            raise ValueError(f"{len(devices)} devices not divisible by n_model={n_model}")
+        n_data = len(devices) // n_model
+    n = n_data * n_model
+    if n > len(devices):
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    import numpy as np
+
+    grid = np.asarray(devices[:n]).reshape(n_data, n_model)
+    return Mesh(grid, ("data", "model"))

@@ -1,0 +1,126 @@
+"""Command-line conversion: WAV in → converted WAV out.
+
+The offline equivalent of adding the reference's OBS filter to a source —
+every one of its 13 settings (``obs-rvc/src/lib.rs:77-89``) maps to a flag.
+
+Usage::
+
+    python -m obs_rvc_tpu.serve.cli input.wav output.wav \
+        --model model.pth --pitch-shift 12 --loudness-factor 0.5 \
+        --index voice.index --index-rate 0.75
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native RVC voice conversion")
+    p.add_argument("input", help="input WAV")
+    p.add_argument("output", help="output WAV")
+    # model artifacts (reference: model_path/index_path settings + bundled
+    # contentvec/rmvpe in the plugin data dir)
+    p.add_argument("--model", help="RVC synthesizer .pth (random init if omitted)")
+    p.add_argument("--contentvec", help="ContentVec/HuBERT .pt checkpoint")
+    p.add_argument("--rmvpe", help="RMVPE .pt checkpoint")
+    p.add_argument("--index", help="faiss .index / .npy feature table")
+    # the 13 settings
+    p.add_argument("--model-version", default="v2", choices=["v1", "v2"])
+    p.add_argument("--dest-sample-rate", type=int, default=40000)
+    p.add_argument("--pitch-algorithm", default="rmvpe", choices=["rmvpe"])
+    p.add_argument("--pitch-shift", type=float, default=0.0)
+    p.add_argument("--resonance-shift", type=float, default=0.0)
+    p.add_argument("--index-rate", type=float, default=0.0)
+    p.add_argument("--loudness-factor", type=float, default=0.5)
+    p.add_argument("--sample-length", type=float, default=0.30)
+    p.add_argument("--fade-length", type=float, default=0.07)
+    p.add_argument("--extra-inference-time", type=float, default=2.00)
+    p.add_argument("--skip-inference", action="store_true")
+    # extras beyond the reference
+    p.add_argument("--speaker-id", type=int, default=0)
+    p.add_argument("--f0-median-radius", type=int, default=0)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--metrics-json", action="store_true", help="print metrics JSON to stderr")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from obs_rvc_tpu.config import RvcModelVersion, StreamSettings
+    from obs_rvc_tpu.models.checkpoints import load_pipeline_params
+    from obs_rvc_tpu.retrieval import RetrievalIndex
+    from obs_rvc_tpu.stream import RvcPipeline, StepControls
+    from obs_rvc_tpu.utils import downmix_to_mono, read_wav, upmix_from_mono, write_wav
+
+    audio, sr = read_wav(args.input)
+    channels = audio.shape[0]
+    mono = downmix_to_mono(audio)
+
+    settings = StreamSettings(
+        model_path=args.model,
+        index_path=args.index,
+        model_version=RvcModelVersion.from_str(args.model_version),
+        dest_sample_rate=args.dest_sample_rate,
+        pitch_shift=int(args.pitch_shift),
+        resonance_shift=args.resonance_shift,
+        index_rate=args.index_rate,
+        rms_mix_rate=args.loudness_factor,
+        sample_length=args.sample_length,
+        fade_length=args.fade_length,
+        extra_inference_time=args.extra_inference_time,
+        skip_inference=args.skip_inference,
+    )
+    cfg = settings.chunk_config(sr)
+    pipe = RvcPipeline(
+        cfg,
+        settings.model_version,
+        f0_median_radius=args.f0_median_radius,
+        retrieval_index=RetrievalIndex() if args.index else None,
+        compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+    )
+    params = load_pipeline_params(
+        pipe,
+        contentvec_path=args.contentvec,
+        rmvpe_path=args.rmvpe,
+        synthesizer_path=args.model,
+        index_path=args.index,
+    )
+    controls = StepControls.default(
+        pitch_shift=args.pitch_shift,
+        rms_mix_rate=args.loudness_factor,
+        index_rate=args.index_rate,
+        sid=args.speaker_id,
+    )
+
+    t0 = time.perf_counter()
+    out = np.asarray(pipe.convert_offline(params, jnp.asarray(mono), controls))
+    wall = time.perf_counter() - t0
+
+    write_wav(args.output, upmix_from_mono(out, channels), sr)
+
+    if args.metrics_json:
+        audio_s = len(out) / sr
+        print(
+            json.dumps(
+                {
+                    "audio_seconds": round(audio_s, 3),
+                    "wall_seconds": round(wall, 3),
+                    "rtf": round(wall / max(audio_s, 1e-9), 4),
+                    "chunks": len(out) // cfg.sample_frame_size,
+                }
+            ),
+            file=sys.stderr,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -11,5 +11,14 @@ concurrent streams (DP), and shardable over a device mesh.
 
 from obs_rvc_tpu.stream.state import StreamState
 from obs_rvc_tpu.stream.pipeline import RvcPipeline, StepControls
+from obs_rvc_tpu.stream.engine import RvcEngine, EngineError
+from obs_rvc_tpu.stream.scheduler import StreamSession
 
-__all__ = ["StreamState", "RvcPipeline", "StepControls"]
+__all__ = [
+    "StreamState",
+    "RvcPipeline",
+    "StepControls",
+    "RvcEngine",
+    "EngineError",
+    "StreamSession",
+]

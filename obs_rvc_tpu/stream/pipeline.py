@@ -111,24 +111,29 @@ class RvcPipeline:
         f0_median_radius: int = 0,
         retrieval_index: Optional[Any] = None,
         compute_dtype: jnp.dtype = jnp.float32,
+        contentvec_cfg: Optional[ContentVecConfig] = None,
+        rmvpe_cfg: Optional[RMVPEConfig] = None,
+        synth_cfg: Optional[SynthesizerConfig] = None,
     ):
         self.cfg = cfg
         self.version = version
         self.f0_median_radius = f0_median_radius
         self.retrieval_index = retrieval_index
 
-        self.contentvec_cfg = (
-            ContentVecConfig.v1() if version is RvcModelVersion.V1 else ContentVecConfig.v2()
+        if contentvec_cfg is None:
+            contentvec_cfg = (
+                ContentVecConfig.v1() if version is RvcModelVersion.V1 else ContentVecConfig.v2()
+            )
+        self.contentvec_cfg = dataclasses.replace(contentvec_cfg, dtype=compute_dtype)
+        self.rmvpe_cfg = dataclasses.replace(
+            rmvpe_cfg if rmvpe_cfg is not None else RMVPEConfig(), dtype=compute_dtype
         )
-        self.contentvec_cfg = dataclasses.replace(self.contentvec_cfg, dtype=compute_dtype)
-        self.rmvpe_cfg = RMVPEConfig(dtype=compute_dtype)
-        self.synth_cfg = dataclasses.replace(
-            SynthesizerConfig.for_sample_rate(
+        if synth_cfg is None:
+            synth_cfg = SynthesizerConfig.for_sample_rate(
                 cfg.model_sample_rate if not cfg.skip_inference else 40000,
-                feature_dim=version.text_encoder_in_channels,
-            ),
-            dtype=compute_dtype,
-        )
+                feature_dim=contentvec_cfg.out_dim,
+            )
+        self.synth_cfg = dataclasses.replace(synth_cfg, dtype=compute_dtype)
 
         self.contentvec = ContentVec(self.contentvec_cfg)
         self.rmvpe = RMVPE(self.rmvpe_cfg)
@@ -159,7 +164,7 @@ class RvcPipeline:
         wav16 = jnp.zeros((1, cfg.input_buffer_16k_size))
         mel = jnp.zeros((1, 128, cfg.rmvpe_n_frames))
         T = cfg.return_length
-        phone = jnp.zeros((1, T, self.version.text_encoder_in_channels))
+        phone = jnp.zeros((1, T, self.synth_cfg.feature_dim))
         pitch = jnp.ones((1, T), jnp.int32)
         pitchf = jnp.zeros((1, T))
         sid = jnp.zeros((1,), jnp.int32)
@@ -168,6 +173,42 @@ class RvcPipeline:
             "rmvpe": self.rmvpe.init(r2, mel),
             "synthesizer": self.synthesizer.init(r3, phone, pitch, pitchf, sid),
         }
+
+    def init_params_fast(self, seed: int = 0) -> dict:
+        """Compile-free random init: shapes via ``jax.eval_shape`` (pure
+        tracing), values from host numpy. Use on TPU where each ``init``
+        would otherwise trigger a device compile just to draw random
+        weights (benchmarks, smoke tests; checkpoints for real use)."""
+        import numpy as np
+
+        cfg = self.cfg
+        wav16 = jnp.zeros((1, cfg.input_buffer_16k_size))
+        mel = jnp.zeros((1, 128, cfg.rmvpe_n_frames))
+        T = cfg.return_length
+        phone = jnp.zeros((1, T, self.synth_cfg.feature_dim))
+        pitch = jnp.ones((1, T), jnp.int32)
+        pitchf = jnp.zeros((1, T))
+        sid = jnp.zeros((1,), jnp.int32)
+
+        rng = jax.random.PRNGKey(0)
+        shapes = {
+            "contentvec": jax.eval_shape(self.contentvec.init, rng, wav16),
+            "rmvpe": jax.eval_shape(self.rmvpe.init, rng, mel),
+            "synthesizer": jax.eval_shape(
+                self.synthesizer.init, rng, phone, pitch, pitchf, sid
+            ),
+        }
+        host = np.random.default_rng(seed)
+
+        def fill(leaf_path, s):
+            name = jax.tree_util.keystr(leaf_path)
+            if "scale" in name or ("batch_stats" in name and "var" in name):
+                return np.ones(s.shape, s.dtype)
+            if "bias" in name or ("batch_stats" in name and "mean" in name):
+                return np.zeros(s.shape, s.dtype)
+            return (host.standard_normal(s.shape) * 0.02).astype(s.dtype)
+
+        return jax.tree_util.tree_map_with_path(fill, shapes)
 
     # ------------------------------------------------------------------
     # the per-chunk step (single stream; vmap for batches)

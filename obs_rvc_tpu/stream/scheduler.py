@@ -1,0 +1,142 @@
+"""Host-side stream session: ring buffers + worker thread around the jitted
+step.
+
+Replaces the reference's filter/worker machinery
+(``obs-rvc/src/lib.rs:592-643`` filter_audio, ``797-857`` thread_loop,
+``860-887`` start/stop): the audio callback pushes arbitrary-size mono
+frames and pulls converted ones; a worker drains full chunks through the
+pipeline. Differences by design:
+
+- sample-granular SPSC ring buffers (native C++ when built) instead of
+  frame-object queues — no re-chunking copies, no timestamp rewrite needed;
+  output is sample-aligned to input minus the fixed pipeline delay.
+- failure handling: a step that raises emits one silence chunk and clears
+  streaming state (the reference's engine-crash path, ``lib.rs:716-727``),
+  keeping audio flowing.
+- live controls are a lock-free snapshot swap (single assignment of an
+  immutable StepControls), not a FairMutex.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+import numpy as np
+import jax
+
+from obs_rvc_tpu.serve.metrics import ChunkMetrics
+from obs_rvc_tpu.stream.pipeline import RvcPipeline, StepControls
+from obs_rvc_tpu.stream.ringbuf import make_ring_buffer
+from obs_rvc_tpu.stream.state import StreamState
+
+
+class StreamSession:
+    def __init__(
+        self,
+        pipeline: RvcPipeline,
+        params: dict,
+        controls: Optional[StepControls] = None,
+        input_capacity_chunks: int = 8,
+        output_capacity_chunks: int = 12,
+    ):
+        self.pipeline = pipeline
+        self.params = params
+        self.controls = controls if controls is not None else StepControls.default()
+        cfg = pipeline.cfg
+        self._chunk = cfg.sample_frame_size
+        self._in = make_ring_buffer(self._chunk * input_capacity_chunks)
+        self._out = make_ring_buffer(self._chunk * output_capacity_chunks)
+        self.state = StreamState.init(cfg)
+        self.metrics = ChunkMetrics(chunk_seconds=cfg.latency_seconds)
+
+        self._running = False
+        self._thread: Optional[threading.Thread] = None
+        self._wake = threading.Event()
+
+    # --- audio-callback side (lib.rs:592-643) ---
+
+    def push_audio(self, frame: np.ndarray) -> int:
+        """Push mono device-rate samples; returns count dropped (when the
+        worker can't keep up — the reference force_pushes and loses oldest,
+        we drop newest and count it)."""
+        frame = np.asarray(frame, np.float32).ravel()
+        written = self._in.push(frame)
+        dropped = frame.size - written
+        if dropped:
+            self.metrics.record_dropped(dropped)
+        self._wake.set()
+        return dropped
+
+    def pull_audio(self, n: int) -> np.ndarray:
+        """Pop up to n converted samples (empty → caller outputs silence /
+        discards the frame, like FilterAudioResult::Discarded)."""
+        out = self._out.pop(n)
+        if out.size < n:
+            self.metrics.record_underrun()
+        return out
+
+    # --- worker side (lib.rs:797-857) ---
+
+    def process_pending(self, max_chunks: int = 4) -> int:
+        """Run up to ``max_chunks`` chunk steps; returns chunks produced."""
+        done = 0
+        for _ in range(max_chunks):
+            chunk = self._in.pop_exact(self._chunk)
+            if chunk is None:
+                break
+            with self.metrics.time_chunk():
+                try:
+                    self.state, out = self.pipeline.jit_step(
+                        self.params, self.state, chunk, self.controls
+                    )
+                    out = np.asarray(jax.block_until_ready(out))
+                except Exception:
+                    # engine failure → silence chunk + state reset (lib.rs:716-727)
+                    out = np.zeros(self._chunk, np.float32)
+                    self.state = StreamState.init(self.pipeline.cfg)
+            self._out.push(out)
+            done += 1
+        return done
+
+    def _loop(self) -> None:
+        while self._running:
+            if self.process_pending() == 0:
+                self._wake.wait(timeout=1.0)
+                self._wake.clear()
+
+    # --- lifecycle (activate/deactivate, lib.rs:645-657,860-887) ---
+
+    def start(self) -> None:
+        if self._thread is None:
+            self.clear()
+            self._running = True
+            self._thread = threading.Thread(target=self._loop, daemon=True, name="rvc-worker")
+            self._thread.start()
+
+    def stop(self) -> None:
+        if self._thread is not None:
+            self._running = False
+            self._wake.set()
+            self._thread.join()
+            self._thread = None
+            self.clear()
+
+    def clear(self) -> None:
+        """Zero all streaming state (clear_state, lib.rs:906-913)."""
+        self.state = StreamState.init(self.pipeline.cfg)
+        while self._in.pop(self._chunk).size:
+            pass
+        while self._out.pop(self._chunk).size:
+            pass
+
+    # --- live settings (tier-1 hot reload) ---
+
+    def update_controls(self, **kwargs) -> None:
+        import dataclasses as _dc
+        import jax.numpy as jnp
+
+        updates = {
+            k: jnp.asarray(v, dtype=getattr(self.controls, k).dtype) for k, v in kwargs.items()
+        }
+        self.controls = self.controls.replace(**updates)

@@ -1,0 +1,88 @@
+"""Diagnose per-stage compile+run time on the real TPU chip.
+
+Usage: python scripts/tpu_stage_timing.py [stage ...]
+stages: mel rmvpe contentvec synth dsp step
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from obs_rvc_tpu.config import StreamSettings
+from obs_rvc_tpu.stream import RvcPipeline, StepControls, StreamState
+
+STAGES = sys.argv[1:] or ["mel", "rmvpe", "contentvec", "synth", "dsp", "step"]
+
+
+def bench(name, fn, *args):
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(fn(*args))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n = 5
+    for _ in range(n):
+        out = jax.block_until_ready(fn(*args))
+    run_ms = (time.perf_counter() - t0) / n * 1000
+    print(f"{name:12s} compile {compile_s:7.1f}s   run {run_ms:8.2f} ms", flush=True)
+    return out
+
+
+def main():
+    cfg = StreamSettings().chunk_config(48000)
+    pipe = RvcPipeline(cfg, compute_dtype=jnp.bfloat16)
+    print("init params...", flush=True)
+    params = jax.device_put(pipe.init_params_fast(0))
+    jax.block_until_ready(params)
+    print("params ready", flush=True)
+
+    rng = np.random.default_rng(0)
+    buf16 = jnp.asarray(rng.standard_normal(cfg.input_buffer_16k_size).astype(np.float32) * 0.1)
+
+    if "mel" in STAGES:
+        mel_fn = jax.jit(lambda x: pipe.mel(x[-cfg.rmvpe_frame_16k:]))
+        bench("mel", mel_fn, buf16)
+
+    if "rmvpe" in STAGES:
+        mel = jnp.zeros((1, 128, cfg.rmvpe_n_frames))
+        rmvpe_fn = jax.jit(lambda p, m: pipe.rmvpe.apply(p, m))
+        bench("rmvpe", rmvpe_fn, params["rmvpe"], mel)
+
+    if "contentvec" in STAGES:
+        cv_fn = jax.jit(lambda p, x: pipe.contentvec.apply(p, x))
+        bench("contentvec", cv_fn, params["contentvec"], buf16[None])
+
+    if "synth" in STAGES:
+        T = cfg.return_length
+        phone = jnp.zeros((1, T, pipe.synth_cfg.feature_dim))
+        pitch = jnp.ones((1, T), jnp.int32)
+        pitchf = jnp.full((1, T), 220.0)
+        sid = jnp.zeros((1,), jnp.int32)
+        synth_fn = jax.jit(lambda p, *a: pipe.synthesizer.apply(p, *a))
+        bench("synth", synth_fn, params["synthesizer"], phone, pitch, pitchf, sid)
+
+    if "dsp" in STAGES:
+        from obs_rvc_tpu.dsp import envelope_mixing, resample_poly, sola_crossfade, sola_offset
+
+        def dsp_fn(buf, model_out, sola_buf):
+            out = resample_poly(model_out, cfg.model_sample_rate, cfg.sample_rate)
+            out = envelope_mixing(buf[cfg.extra_frame_size:], out, cfg.sample_rate, 0.5)
+            off = sola_offset(out, sola_buf, cfg.sola_buffer_frame_size, cfg.sola_search_frame_size)
+            return sola_crossfade(out, sola_buf, off, pipe._fade_in, pipe._fade_out, cfg.sample_frame_size)
+
+        buf = jnp.zeros(cfg.input_buffer_size)
+        model_out = jnp.zeros(cfg.model_return_size)
+        sola_buf = jnp.zeros(cfg.sola_buffer_frame_size)
+        bench("dsp", jax.jit(dsp_fn), buf, model_out, sola_buf)
+
+    if "step" in STAGES:
+        state = StreamState.init(cfg)
+        chunk = jnp.zeros(cfg.sample_frame_size)
+        controls = StepControls.default()
+        bench("step", jax.jit(pipe.step), params, state, chunk, controls)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,211 @@
+"""Host-side serving layer: ring buffers, stream session, RPC wire protocol,
+metrics, audio IO, checkpoint loader plumbing."""
+
+import io
+import threading
+
+import numpy as np
+import pytest
+import jax
+
+from obs_rvc_tpu.config import ChunkConfig
+from obs_rvc_tpu.stream import RvcEngine, RvcPipeline, StepControls, StreamSession
+from obs_rvc_tpu.stream.ringbuf import NativeRingBuffer, PyRingBuffer, _LIB, make_ring_buffer
+
+
+def small_cfg(**kw):
+    return ChunkConfig.build(
+        sample_rate=48000, sample_length=0.10, extra_inference_time=0.50, **kw
+    )
+
+
+# ---------- ring buffers ----------
+
+@pytest.mark.parametrize("cls", [PyRingBuffer] + ([NativeRingBuffer] if _LIB else []))
+def test_ringbuffer_contract(cls):
+    rb = cls(1000)
+    assert rb.capacity >= 1000 and (rb.capacity & (rb.capacity - 1)) == 0
+    x = np.arange(300, dtype=np.float32)
+    assert rb.push(x) == 300
+    assert rb.available() == 300
+    assert rb.pop_exact(400) is None  # not enough → nothing consumed
+    got = rb.pop_exact(200)
+    np.testing.assert_array_equal(got, x[:200])
+    assert rb.available() == 100
+    got = rb.pop(500)  # partial pop
+    np.testing.assert_array_equal(got, x[200:300])
+
+
+@pytest.mark.skipif(_LIB is None, reason="native lib not built")
+def test_native_ringbuffer_wraparound_and_threads():
+    rb = NativeRingBuffer(1 << 12)
+    total = 200_000
+    chunk = 997  # prime size to exercise wraparound
+
+    def producer():
+        sent = 0
+        while sent < total:
+            n = min(chunk, total - sent)
+            data = np.arange(sent, sent + n, dtype=np.float32)
+            pushed = rb.push(data)
+            sent += pushed
+
+    received = []
+    t = threading.Thread(target=producer)
+    t.start()
+    got = 0
+    while got < total:
+        out = rb.pop(4096)
+        if out.size:
+            received.append(out)
+            got += out.size
+    t.join()
+    all_data = np.concatenate(received)
+    np.testing.assert_array_equal(all_data, np.arange(total, dtype=np.float32))
+
+
+# ---------- stream session ----------
+
+def test_stream_session_passthrough():
+    cfg = small_cfg(skip_inference=True)
+    pipe = RvcPipeline(cfg)
+    sess = StreamSession(pipe, params={})
+
+    sr, f = 48000, 330.0
+    n = 6 * cfg.sample_frame_size
+    wav = np.sin(2 * np.pi * f * np.arange(n) / sr).astype(np.float32)
+
+    # push in odd-sized frames like an audio callback would (lib.rs:592-643)
+    frame = 1024
+    out = []
+    for i in range(0, n, frame):
+        sess.push_audio(wav[i : i + frame])
+        sess.process_pending()
+        out.append(sess.pull_audio(frame))
+    sess.process_pending()
+    out.append(sess.pull_audio(n))
+    got = np.concatenate(out)
+
+    assert got.size >= 4 * cfg.sample_frame_size
+    tail = got[2 * cfg.sample_frame_size :]
+    spec = np.abs(np.fft.rfft(tail * np.hanning(tail.size)))
+    peak_hz = np.argmax(spec) * sr / tail.size
+    assert abs(peak_hz - f) < 5.0
+    snap = sess.metrics.snapshot()
+    assert snap.chunks >= 4
+    assert snap.p50_ms > 0
+
+
+def test_stream_session_failure_emits_silence():
+    cfg = small_cfg(skip_inference=True)
+    pipe = RvcPipeline(cfg)
+    sess = StreamSession(pipe, params={})
+
+    # sabotage the step to throw (engine-crash path, lib.rs:716-727)
+    def boom(*a, **k):
+        raise RuntimeError("injected failure")
+
+    sess.pipeline = type("P", (), {"cfg": cfg, "jit_step": staticmethod(boom)})()
+    sess.push_audio(np.ones(cfg.sample_frame_size, np.float32))
+    assert sess.process_pending() == 1
+    out = sess.pull_audio(cfg.sample_frame_size)
+    np.testing.assert_array_equal(out, 0.0)
+
+
+def test_stream_session_update_controls():
+    cfg = small_cfg(skip_inference=True)
+    sess = StreamSession(RvcPipeline(cfg), params={})
+    sess.update_controls(pitch_shift=5.0, rms_mix_rate=0.25)
+    assert float(sess.controls.pitch_shift) == 5.0
+    assert float(sess.controls.rms_mix_rate) == 0.25
+
+
+# ---------- RPC wire protocol ----------
+
+def test_rpc_roundtrip_wire_format():
+    from obs_rvc_tpu.serve.rpc import RpcClient, serve_stream
+
+    cfg = small_cfg()
+
+    class FakeEngine:
+        def infer(self, samples, n16k, pitch, skip, ret):
+            assert samples.dtype == np.float32
+            assert (n16k, pitch, skip, ret) == (1600, -12, 50, 15)
+            return samples[:100] * 2.0
+
+    req = io.BytesIO()
+    client_out = RpcClient(io.BytesIO(), req)
+    samples = np.random.default_rng(0).standard_normal(3200).astype(np.float32)
+    # write request, then serve it, then parse response
+    client_out._rout.write(__import__("struct").pack("<I", samples.size))
+    client_out._rout.write(samples.astype("<f4").tobytes())
+    client_out._rout.write(__import__("struct").pack("<IiII", 1600, -12, 50, 15))
+
+    resp = io.BytesIO()
+    req.seek(0)
+    try:
+        serve_stream(FakeEngine(), req, resp)
+    except EOFError:
+        pass
+    resp.seek(0)
+    client_in = RpcClient(resp, io.BytesIO())
+    import struct as _s
+
+    (n,) = _s.unpack("<I", resp.read(4))
+    out = np.frombuffer(resp.read(4 * n), dtype="<f4")
+    np.testing.assert_allclose(out, samples[:100] * 2.0, atol=1e-6)
+
+
+def test_engine_geometry_validation():
+    from obs_rvc_tpu.stream.engine import EngineError
+
+    cfg = small_cfg()
+    pipe = RvcPipeline(cfg)
+    eng = RvcEngine(pipe, params=None)
+    with pytest.raises(EngineError):
+        eng.infer(np.zeros(cfg.input_buffer_16k_size, np.float32),
+                  cfg.sample_frame_16k_size, 0, cfg.skip_head, cfg.return_length)
+    eng.load_params({"dummy": 1})
+    with pytest.raises(EngineError):
+        eng.infer(np.zeros(17, np.float32), cfg.sample_frame_16k_size, 0,
+                  cfg.skip_head, cfg.return_length)
+    with pytest.raises(EngineError):
+        eng.infer(np.zeros(cfg.input_buffer_16k_size, np.float32), 123, 0,
+                  cfg.skip_head, cfg.return_length)
+
+
+# ---------- metrics ----------
+
+def test_metrics_snapshot():
+    from obs_rvc_tpu.serve.metrics import ChunkMetrics
+
+    m = ChunkMetrics(chunk_seconds=0.3)
+    for v in [10.0, 20.0, 30.0, 40.0, 50.0]:
+        m.record(v)
+    m.record_underrun()
+    snap = m.snapshot()
+    assert snap.chunks == 5
+    assert snap.p50_ms == 30.0
+    assert snap.underruns == 1
+    assert snap.rtf == pytest.approx(0.1)
+    assert snap.audio_seconds_per_second == pytest.approx(10.0)
+
+
+# ---------- audio io ----------
+
+def test_wav_roundtrip(tmp_path):
+    from obs_rvc_tpu.utils import downmix_to_mono, read_wav, upmix_from_mono, write_wav
+
+    rng = np.random.default_rng(0)
+    audio = np.clip(rng.standard_normal((2, 4800)) * 0.3, -0.99, 0.99).astype(np.float32)
+    write_wav(tmp_path / "t.wav", audio, 48000)
+    back, sr = read_wav(tmp_path / "t.wav")
+    assert sr == 48000
+    assert back.shape == (2, 4800)
+    np.testing.assert_allclose(back, audio, atol=1.5 / 32768)
+
+    mono = downmix_to_mono(audio)
+    np.testing.assert_allclose(mono, audio.mean(axis=0), atol=1e-6)
+    up = upmix_from_mono(mono, 2)
+    assert up.shape == (2, 4800)
+    np.testing.assert_array_equal(up[0], up[1])
