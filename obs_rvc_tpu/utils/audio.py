@@ -67,7 +67,7 @@ def write_wav(path: str | pathlib.Path, audio: np.ndarray, sample_rate: int) -> 
     if audio.ndim == 1:
         audio = audio[None, :]
     pcm = np.clip(audio.T, -1.0, 1.0)
-    pcm = (pcm * 32767.0).astype("<i2")
+    pcm = np.round(pcm * 32767.0).astype("<i2")
     with wave.open(str(path), "wb") as w:
         w.setnchannels(audio.shape[0])
         w.setsampwidth(2)
