@@ -26,10 +26,21 @@ from obs_rvc_tpu.dsp.window import pad_reflect
 
 def frame_signal(x: jnp.ndarray, frame_length: int, hop_length: int, num_frames: int) -> jnp.ndarray:
     """Slice ``x`` into ``[num_frames, frame_length]`` overlapping frames,
-    frame ``i`` starting at ``i*hop_length`` (``rmvpe.rs:103-106``)."""
-    starts = jnp.arange(num_frames) * hop_length
-    idx = starts[:, None] + jnp.arange(frame_length)[None, :]
-    return x[idx]
+    frame ``i`` starting at ``i*hop_length`` (``rmvpe.rs:103-106``).
+
+    TPU-friendly: built from ``ceil(frame/hop)`` shifted static slices of the
+    hop-reshaped signal (pure slicing + concat) instead of a
+    ``[T, frame]`` gather, which is slow on the TPU gather unit.
+    """
+    n_blocks = -(-frame_length // hop_length)
+    need = (num_frames + n_blocks - 1) * hop_length
+    if x.shape[0] < need:
+        x = jnp.pad(x, ((0, need - x.shape[0]),))
+    else:
+        x = x[:need]
+    rows = x.reshape(-1, hop_length)  # [num_frames + n_blocks - 1, hop]
+    blocks = [rows[a : a + num_frames] for a in range(n_blocks)]
+    return jnp.concatenate(blocks, axis=1)[:, :frame_length]
 
 
 @functools.lru_cache(maxsize=8)
