@@ -25,6 +25,13 @@ def main() -> None:
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     parser.add_argument("--batch", type=int, default=1, help="concurrent streams (DP on one chip)")
+    parser.add_argument(
+        "--mode",
+        choices=["staged", "fused"],
+        default="staged",
+        help="staged = five per-stage executables (fast, reliable compile); "
+        "fused = one monolithic XLA program (slowest compile, fewest dispatches)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -32,7 +39,10 @@ def main() -> None:
     import numpy as np
 
     from obs_rvc_tpu.config import StreamSettings
+    from obs_rvc_tpu.models.checkpoints import enable_compilation_cache
     from obs_rvc_tpu.stream import RvcPipeline, StepControls, StreamState
+
+    enable_compilation_cache()
 
     cfg = StreamSettings().chunk_config(48000)
     pipe = RvcPipeline(cfg, compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
@@ -44,14 +54,19 @@ def main() -> None:
     B = args.batch
     if B == 1:
         state = StreamState.init(cfg)
-        step = pipe.jit_step
+        step = pipe.staged_step if args.mode == "staged" else pipe.jit_step
         controls = controls1
         make_chunk = lambda: jnp.asarray(
             rng.standard_normal(cfg.sample_frame_size).astype(np.float32) * 0.1
         )
     else:
         state = StreamState.init_batch(cfg, B)
-        step = pipe.jit_step_batch
+        if args.mode == "staged":
+            import functools
+
+            step = functools.partial(pipe.staged_step, batched=True)
+        else:
+            step = pipe.jit_step_batch
         controls = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), controls1)
         make_chunk = lambda: jnp.asarray(
             rng.standard_normal((B, cfg.sample_frame_size)).astype(np.float32) * 0.1

@@ -275,3 +275,46 @@ def gcd_ratio(sr_in: int, sr_out: int) -> tuple[int, int]:
     """Reduced (up, down) resampling ratio."""
     g = math.gcd(sr_in, sr_out)
     return sr_out // g, sr_in // g
+
+
+class ReloadTier(enum.IntEnum):
+    """What a settings change requires — the reference's three change
+    classes in ``UpdateSource::update`` (``obs-rvc/src/lib.rs:428-589``)."""
+
+    NONE = 0      #: identical settings
+    LIVE = 1      #: traced scalars; picked up next chunk (lib.rs:440-462)
+    GEOMETRY = 2  #: recalculate_input_buffer → new ChunkConfig / re-jit (lib.rs:513-584)
+    MODEL = 3     #: reload_rvc → new weights / new pipeline (lib.rs:586-588)
+
+
+#: settings fields by reload tier (mirrors which branch each key takes in
+#: the reference's update()).
+_LIVE_FIELDS = frozenset({"pitch_shift", "index_rate", "rms_mix_rate"})
+_GEOMETRY_FIELDS = frozenset(
+    {
+        "sample_length",
+        "fade_length",
+        "extra_inference_time",
+        "dest_sample_rate",
+        "skip_inference",
+        "resonance_shift",  # static mel keyshift → re-jit (wired here; unused in ref)
+    }
+)
+_MODEL_FIELDS = frozenset({"model_path", "index_path", "model_version", "pitch_algorithm"})
+
+
+def diff_settings(old: "StreamSettings", new: "StreamSettings") -> ReloadTier:
+    """Classify a settings change by the most invasive tier it touches."""
+    tier = ReloadTier.NONE
+    for f in dataclasses.fields(StreamSettings):
+        if getattr(old, f.name) == getattr(new, f.name):
+            continue
+        if f.name in _MODEL_FIELDS:
+            return ReloadTier.MODEL
+        if f.name in _GEOMETRY_FIELDS:
+            tier = max(tier, ReloadTier.GEOMETRY)
+        elif f.name in _LIVE_FIELDS:
+            tier = max(tier, ReloadTier.LIVE)
+        else:  # pragma: no cover — new fields must be classified
+            raise ValueError(f"unclassified setting {f.name!r}")
+    return tier

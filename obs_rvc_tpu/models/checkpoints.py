@@ -13,6 +13,7 @@ import pathlib
 from typing import Any, Optional
 
 import jax
+import numpy as np
 
 from obs_rvc_tpu.models import weights as W
 
@@ -91,3 +92,34 @@ def load_pipeline_params(
         params["index"] = RetrievalIndex.make_params(load_index_vectors(index_path))
 
     return params
+
+
+# ---------------------------------------------------------------------------
+# native serialized format (no torch needed at serving time)
+# ---------------------------------------------------------------------------
+
+
+def save_params(path: str | pathlib.Path, params: Any) -> None:
+    """Serialize a converted params pytree to flax msgpack — the framework's
+    own artifact format (the analog of the reference's ONNX files + EP
+    engine caches, ``models.rs:14-17,57``; pairs with the persistent XLA
+    compile cache for cold-start-free serving)."""
+    from flax import serialization
+
+    data = serialization.msgpack_serialize(jax.tree.map(lambda x: np.asarray(x), params))
+    pathlib.Path(path).write_bytes(data)
+
+
+def load_params(path: str | pathlib.Path) -> Any:
+    from flax import serialization
+
+    return serialization.msgpack_restore(pathlib.Path(path).read_bytes())
+
+
+def enable_compilation_cache(cache_dir: str | pathlib.Path = "~/.cache/obs_rvc_tpu/xla") -> None:
+    """Persist compiled executables across processes so serving/bench
+    restarts skip the multi-minute fused-step compile."""
+    cache_dir = str(pathlib.Path(cache_dir).expanduser())
+    pathlib.Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -111,6 +111,7 @@ class RvcPipeline:
         f0_median_radius: int = 0,
         retrieval_index: Optional[Any] = None,
         compute_dtype: jnp.dtype = jnp.float32,
+        keyshift: int = 0,
         contentvec_cfg: Optional[ContentVecConfig] = None,
         rmvpe_cfg: Optional[RMVPEConfig] = None,
         synth_cfg: Optional[SynthesizerConfig] = None,
@@ -119,6 +120,10 @@ class RvcPipeline:
         self.version = version
         self.f0_median_radius = f0_median_radius
         self.retrieval_index = retrieval_index
+        #: static mel analysis keyshift in semitones — the "resonance shift"
+        #: setting routed into the reference's dormant keyshift path
+        #: (rmvpe.rs:170-201; plumbed-but-unused per SURVEY §2.2)
+        self.keyshift = keyshift
 
         if contentvec_cfg is None:
             contentvec_cfg = (
@@ -315,7 +320,7 @@ class RvcPipeline:
         cfg = self.cfg
         # mel → salience → f0 for the cropped RMVPE window (rmvpe.rs:256-260)
         rm_in = buf16[-cfg.rmvpe_frame_16k :]
-        mel = self.mel(rm_in)  # [128, T]
+        mel = self.mel(rm_in, keyshift=self.keyshift)  # [128, T]
         salience = self.rmvpe.apply(params["rmvpe"], mel[None])[0]  # [T, 360]
         f0 = decode_f0(salience, threshold=0.03)
         f0 = apply_pitch_shift(f0, controls.pitch_shift)
@@ -330,6 +335,124 @@ class RvcPipeline:
         pitchf = jax.lax.dynamic_slice_in_dim(cache, start, cfg.return_length)
         pitch, pitchf = get_f0_post(pitchf)
         return cache, pitch, pitchf
+
+    # ------------------------------------------------------------------
+    # staged execution (per-stage jits)
+    # ------------------------------------------------------------------
+    #
+    # Semantically identical to ``step`` but compiled as five small XLA
+    # programs instead of one monolith. Per-dispatch overhead on-chip is
+    # <0.5 ms, so the runtime cost is a few ms at most, while compile time
+    # drops ~13× (observed: ~35 s total vs ~8 min fused — and the remote
+    # compile service has been seen hanging on the monolith). Also yields
+    # per-stage timing for the metrics the reference printed per session
+    # (rvc.rs:217 "hubert/pitch/inference").
+
+    def _stage_pre(self, state_in16: jnp.ndarray, state_buf: jnp.ndarray, chunk: jnp.ndarray):
+        cfg = self.cfg
+        buf = jnp.concatenate([state_buf[cfg.sample_frame_size :], chunk])
+        window = buf[-cfg.downsample_window :]
+        res16 = resample_poly(window, cfg.sample_rate, 16000)
+        keep = cfg.downsample_keep_16k
+        buf16 = jnp.concatenate(
+            [
+                state_in16[
+                    cfg.sample_frame_16k_size : cfg.input_buffer_16k_size
+                    - (keep - cfg.sample_frame_16k_size)
+                ],
+                res16[-keep:],
+            ]
+        )
+        return buf, buf16
+
+    def _stage_features(self, params, buf16, index_rate):
+        cfg = self.cfg
+        feats50 = self.contentvec.apply(params["contentvec"], buf16[None, :])
+        feats = extract_feature(feats50)
+        phone = jax.lax.dynamic_slice_in_dim(feats, cfg.skip_head, cfg.return_length, axis=1)
+        if self.retrieval_index is not None:
+            phone = self.retrieval_index.blend(params.get("index"), phone, index_rate)
+        return phone
+
+    def _stage_synth(self, params, phone, pitch, pitchf, sid, rnd):
+        audio = self.synthesizer.apply(
+            params["synthesizer"], phone, pitch[None, :], pitchf[None, :], sid[None],
+            rnd[None] if rnd is not None else None,
+        )
+        return audio[0]
+
+    def _stage_post(self, buf, model_out, sola_buffer, rms_mix_rate):
+        cfg = self.cfg
+        out = resample_poly(model_out, cfg.model_sample_rate, cfg.sample_rate)
+        out = envelope_mixing(buf[cfg.extra_frame_size :], out, cfg.sample_rate, rms_mix_rate)
+        offset = sola_offset(
+            out, sola_buffer, cfg.sola_buffer_frame_size, cfg.sola_search_frame_size
+        )
+        return sola_crossfade(
+            out, sola_buffer, offset, self._fade_in, self._fade_out, cfg.sample_frame_size
+        )
+
+    @functools.cached_property
+    def _staged_jits(self):
+        return self._make_staged_jits(batched=False)
+
+    @functools.cached_property
+    def _staged_jits_batch(self):
+        return self._make_staged_jits(batched=True)
+
+    def _make_staged_jits(self, batched: bool):
+        pitch_fn = lambda params, cache, buf16, controls: self._pitch_cache_update(
+            cache, buf16, controls, params
+        )
+        stages = {
+            "pre": self._stage_pre,
+            "features": self._stage_features,
+            "pitch": pitch_fn,
+            "synth": self._stage_synth,
+            "post": self._stage_post,
+        }
+        if batched:
+            axes = {
+                "pre": (0, 0, 0),
+                "features": (None, 0, 0),
+                "pitch": (None, 0, 0, 0),
+                "synth": (None, 0, 0, 0, 0, None),
+                "post": (0, 0, 0, 0),
+            }
+            stages = {k: jax.vmap(f, in_axes=axes[k]) for k, f in stages.items()}
+        return {k: jax.jit(f) for k, f in stages.items()}
+
+    def staged_step(
+        self,
+        params: dict,
+        state: StreamState,
+        chunk: jnp.ndarray,
+        controls: StepControls,
+        rnd: Optional[jnp.ndarray] = None,
+        batched: bool = False,
+    ) -> tuple[StreamState, jnp.ndarray]:
+        """Same contract as :meth:`step` (or the vmapped batch step when
+        ``batched``), host-orchestrated across the five stage executables."""
+        cfg = self.cfg
+        j = self._staged_jits_batch if batched else self._staged_jits
+        buf, buf16 = j["pre"](state.input_buffer_16k, state.input_buffer, chunk)
+        if cfg.skip_inference:
+            model_out = buf16[..., -cfg.model_return_size :]
+            new_cache = state.cache_pitchf
+        else:
+            phone = j["features"](params, buf16, controls.index_rate)
+            new_cache, pitch, pitchf = j["pitch"](params, state.cache_pitchf, buf16, controls)
+            model_out = j["synth"](params, phone, pitch, pitchf, controls.sid, rnd)
+        emitted, new_sola = j["post"](buf, model_out, state.sola_buffer, controls.rms_mix_rate)
+        return (
+            StreamState(
+                input_buffer=buf,
+                input_buffer_16k=buf16,
+                sola_buffer=new_sola,
+                cache_pitchf=new_cache,
+            ),
+            emitted,
+        )
 
     # ------------------------------------------------------------------
     # jitted entry points

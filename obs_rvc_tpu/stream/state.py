@@ -47,3 +47,22 @@ class StreamState:
         import jax
 
         return jax.tree.map(jnp.zeros_like, self)
+
+    # --- snapshot/restore (checkpoint-resume; the reference only zeroes
+    # state on restart, lib.rs:906-913 — carrying it over avoids the ~2 s
+    # context warm-up glitch after a migration/restart) ---
+
+    def to_bytes(self) -> bytes:
+        import numpy as np
+        from flax import serialization
+
+        return serialization.msgpack_serialize(
+            {k: np.asarray(v) for k, v in self.__dict__.items()}
+        )
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "StreamState":
+        from flax import serialization
+
+        d = serialization.msgpack_restore(data)
+        return StreamState(**{k: jnp.asarray(v) for k, v in d.items()})

@@ -107,6 +107,42 @@ def test_full_neural_step_shapes_and_state():
 
 
 @pytest.mark.slow
+def test_staged_step_matches_fused():
+    cfg = small_cfg()
+    pipe = RvcPipeline(cfg, RvcModelVersion.V2)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    controls = StepControls.default(pitch_shift=7.0, rms_mix_rate=0.4)
+    chunk = jnp.asarray(
+        np.random.default_rng(5).standard_normal(cfg.sample_frame_size).astype(np.float32) * 0.1
+    )
+
+    s_fused, out_fused = pipe.jit_step(params, StreamState.init(cfg), chunk, controls)
+    s_staged, out_staged = pipe.staged_step(params, StreamState.init(cfg), chunk, controls)
+
+    np.testing.assert_allclose(np.asarray(out_staged), np.asarray(out_fused), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(s_staged.cache_pitchf), np.asarray(s_fused.cache_pitchf), atol=1e-4
+    )
+
+
+def test_staged_step_batched_passthrough():
+    cfg = small_cfg(skip_inference=True)
+    pipe = RvcPipeline(cfg)
+    B = 2
+    controls1 = StepControls.default()
+    controlsB = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), controls1)
+    chunks = jnp.asarray(
+        np.random.default_rng(6).standard_normal((B, cfg.sample_frame_size)).astype(np.float32)
+    )
+    state = StreamState.init_batch(cfg, B)
+    new_state, out = pipe.staged_step({}, state, chunks, controlsB, batched=True)
+    assert out.shape == (B, cfg.sample_frame_size)
+
+    _, out0 = pipe.staged_step({}, StreamState.init(cfg), chunks[0], controls1)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out0), atol=1e-5)
+
+
+@pytest.mark.slow
 def test_batched_step_matches_single():
     cfg = small_cfg(skip_inference=True)
     pipe = RvcPipeline(cfg)
