@@ -39,10 +39,15 @@ def main() -> None:
     import numpy as np
 
     from obs_rvc_tpu.config import StreamSettings
-    from obs_rvc_tpu.models.checkpoints import enable_compilation_cache
     from obs_rvc_tpu.stream import RvcPipeline, StepControls, StreamState
 
-    enable_compilation_cache()
+    if jax.default_backend() == "cpu":
+        # persistent executable cache; skipped on the axon tunnel backend,
+        # where the remote compile service owns caching (and the local
+        # cache hook has been observed to hang it)
+        from obs_rvc_tpu.models.checkpoints import enable_compilation_cache
+
+        enable_compilation_cache()
 
     cfg = StreamSettings().chunk_config(48000)
     pipe = RvcPipeline(cfg, compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)

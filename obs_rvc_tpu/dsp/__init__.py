@@ -23,7 +23,7 @@ from obs_rvc_tpu.dsp.f0 import (
     median_filter_f0,
 )
 from obs_rvc_tpu.dsp.envelope import rms_envelope, linear_interpolate_align_corners, envelope_mixing
-from obs_rvc_tpu.dsp.sola import sola_offset, sola_crossfade
+from obs_rvc_tpu.dsp.sola import sola_offset, sola_crossfade, phase_vocoder_blend
 from obs_rvc_tpu.dsp.resample import PolyphaseResampler, resample_poly
 
 __all__ = [
@@ -47,6 +47,7 @@ __all__ = [
     "envelope_mixing",
     "sola_offset",
     "sola_crossfade",
+    "phase_vocoder_blend",
     "PolyphaseResampler",
     "resample_poly",
 ]

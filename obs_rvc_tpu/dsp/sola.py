@@ -53,6 +53,40 @@ def sola_offset(
     return jnp.argmax(cor_nom / cor_den).astype(jnp.int32)
 
 
+def phase_vocoder_blend(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    fade_out: jnp.ndarray,
+    fade_in: jnp.ndarray,
+) -> jnp.ndarray:
+    """Phase-vocoder crossfade of overlap region ``a``→``b`` (both length n).
+
+    The reference leaves this as ``// TODO: phase vocoder``
+    (``obs-rvc/src/lib.rs:778``) and ships the plain sin²/cos² crossfade;
+    this is the upstream Python RVC GUI's phase vocoder: blend the windowed
+    spectra with phase-difference-corrected sinusoids, removing the comb
+    artifacts of amplitude-only crossfades when the two chunks are slightly
+    out of phase.
+    """
+    n = a.shape[0]
+    window = jnp.sqrt(fade_out * fade_in)
+    fa = jnp.fft.rfft(a * window)
+    fb = jnp.fft.rfft(b * window)
+    absab = (jnp.abs(fa) + jnp.abs(fb)).astype(jnp.float32)
+    if n % 2 == 0:
+        absab = absab.at[1:-1].multiply(2.0)
+    else:
+        absab = absab.at[1:].multiply(2.0)
+    phia = jnp.angle(fa)
+    phib = jnp.angle(fb)
+    deltaphase = phib - phia
+    deltaphase = deltaphase - 2 * jnp.pi * jnp.floor(deltaphase / (2 * jnp.pi) + 0.5)
+    w = 2 * jnp.pi * jnp.arange(n // 2 + 1, dtype=jnp.float32) + deltaphase
+    t = (jnp.arange(n, dtype=jnp.float32) / n)[:, None]
+    interp = jnp.sum(absab[None, :] * jnp.cos(w[None, :] * t + phia[None, :]), axis=-1)
+    return a * fade_out**2 + b * fade_in**2 + interp * window / n
+
+
 def sola_crossfade(
     output_wav: jnp.ndarray,
     sola_buffer: jnp.ndarray,
@@ -60,15 +94,20 @@ def sola_crossfade(
     fade_in: jnp.ndarray,
     fade_out: jnp.ndarray,
     sample_frame_size: int,
+    phase_vocoder: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Align ``output_wav`` at ``offset``, crossfade its head with the saved
     tail, and return ``(emitted chunk [sample_frame_size], next sola_buffer)``
-    (``lib.rs:776-794``)."""
+    (``lib.rs:776-794``). ``phase_vocoder`` upgrades the crossfade to the
+    phase-corrected blend (the reference's TODO at ``lib.rs:778``)."""
     buffer_size = sola_buffer.shape[0]
     aligned_len = sample_frame_size + buffer_size
     aligned = jax.lax.dynamic_slice(output_wav, (offset,), (aligned_len,))
 
-    head = aligned[:buffer_size] * fade_in + sola_buffer * fade_out
+    if phase_vocoder:
+        head = phase_vocoder_blend(sola_buffer, aligned[:buffer_size], fade_out, fade_in)
+    else:
+        head = aligned[:buffer_size] * fade_in + sola_buffer * fade_out
     aligned = aligned.at[:buffer_size].set(head)
 
     emitted = aligned[:sample_frame_size]

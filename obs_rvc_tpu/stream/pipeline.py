@@ -112,6 +112,7 @@ class RvcPipeline:
         retrieval_index: Optional[Any] = None,
         compute_dtype: jnp.dtype = jnp.float32,
         keyshift: int = 0,
+        phase_vocoder: bool = False,
         contentvec_cfg: Optional[ContentVecConfig] = None,
         rmvpe_cfg: Optional[RMVPEConfig] = None,
         synth_cfg: Optional[SynthesizerConfig] = None,
@@ -124,6 +125,8 @@ class RvcPipeline:
         #: setting routed into the reference's dormant keyshift path
         #: (rmvpe.rs:170-201; plumbed-but-unused per SURVEY §2.2)
         self.keyshift = keyshift
+        #: phase-corrected SOLA crossfade (the reference's lib.rs:778 TODO)
+        self.phase_vocoder = phase_vocoder
 
         if contentvec_cfg is None:
             contentvec_cfg = (
@@ -263,7 +266,8 @@ class RvcPipeline:
             out, state.sola_buffer, cfg.sola_buffer_frame_size, cfg.sola_search_frame_size
         )
         emitted, new_sola = sola_crossfade(
-            out, state.sola_buffer, offset, self._fade_in, self._fade_out, cfg.sample_frame_size
+            out, state.sola_buffer, offset, self._fade_in, self._fade_out,
+            cfg.sample_frame_size, phase_vocoder=self.phase_vocoder,
         )
 
         new_state = StreamState(
@@ -389,7 +393,8 @@ class RvcPipeline:
             out, sola_buffer, cfg.sola_buffer_frame_size, cfg.sola_search_frame_size
         )
         return sola_crossfade(
-            out, sola_buffer, offset, self._fade_in, self._fade_out, cfg.sample_frame_size
+            out, sola_buffer, offset, self._fade_in, self._fade_out,
+            cfg.sample_frame_size, phase_vocoder=self.phase_vocoder,
         )
 
     @functools.cached_property
@@ -400,14 +405,31 @@ class RvcPipeline:
     def _staged_jits_batch(self):
         return self._make_staged_jits(batched=True)
 
+    def _stage_mel(self, buf16):
+        return self.mel(buf16[-self.cfg.rmvpe_frame_16k :], keyshift=self.keyshift)
+
+    def _stage_salience(self, params, mel):
+        return self.rmvpe.apply(params["rmvpe"], mel[None])[0]
+
+    def _stage_pitch_post(self, cache, salience, controls):
+        cfg = self.cfg
+        f0 = decode_f0(salience, threshold=0.03)
+        f0 = apply_pitch_shift(f0, controls.pitch_shift)
+        if self.f0_median_radius >= 3:
+            f0 = median_filter_f0(f0, self.f0_median_radius)
+        cache = slide_pitch_cache(cache, f0, cfg.sample_frame_16k_size // RMVPE_HOP)
+        start = cfg.pitch_cache_len - self.hubert_length + cfg.skip_head
+        pitchf = jax.lax.dynamic_slice_in_dim(cache, start, cfg.return_length)
+        pitch, pitchf = get_f0_post(pitchf)
+        return cache, pitch, pitchf
+
     def _make_staged_jits(self, batched: bool):
-        pitch_fn = lambda params, cache, buf16, controls: self._pitch_cache_update(
-            cache, buf16, controls, params
-        )
         stages = {
             "pre": self._stage_pre,
             "features": self._stage_features,
-            "pitch": pitch_fn,
+            "mel": self._stage_mel,
+            "salience": self._stage_salience,
+            "pitch_post": self._stage_pitch_post,
             "synth": self._stage_synth,
             "post": self._stage_post,
         }
@@ -415,7 +437,9 @@ class RvcPipeline:
             axes = {
                 "pre": (0, 0, 0),
                 "features": (None, 0, 0),
-                "pitch": (None, 0, 0, 0),
+                "mel": (0,),
+                "salience": (None, 0),
+                "pitch_post": (0, 0, 0),
                 "synth": (None, 0, 0, 0, 0, None),
                 "post": (0, 0, 0, 0),
             }
@@ -441,7 +465,11 @@ class RvcPipeline:
             new_cache = state.cache_pitchf
         else:
             phone = j["features"](params, buf16, controls.index_rate)
-            new_cache, pitch, pitchf = j["pitch"](params, state.cache_pitchf, buf16, controls)
+            mel = j["mel"](buf16)
+            salience = j["salience"](params, mel)
+            new_cache, pitch, pitchf = j["pitch_post"](
+                state.cache_pitchf, salience, controls
+            )
             model_out = j["synth"](params, phone, pitch, pitchf, controls.sid, rnd)
         emitted, new_sola = j["post"](buf, model_out, state.sola_buffer, controls.rms_mix_rate)
         return (

@@ -27,20 +27,26 @@ class StreamState:
 
     @staticmethod
     def init(cfg: ChunkConfig) -> "StreamState":
+        # host-side zeros (device_put on first use) — jnp.zeros would compile
+        # a fill program per shape, which is expensive on remote-compile
+        # backends
+        import numpy as np
+
         return StreamState(
-            input_buffer=jnp.zeros((cfg.input_buffer_size,), jnp.float32),
-            input_buffer_16k=jnp.zeros((cfg.input_buffer_16k_size,), jnp.float32),
-            sola_buffer=jnp.zeros((cfg.sola_buffer_frame_size,), jnp.float32),
-            cache_pitchf=jnp.zeros((cfg.pitch_cache_len,), jnp.float32),
+            input_buffer=np.zeros((cfg.input_buffer_size,), np.float32),
+            input_buffer_16k=np.zeros((cfg.input_buffer_16k_size,), np.float32),
+            sola_buffer=np.zeros((cfg.sola_buffer_frame_size,), np.float32),
+            cache_pitchf=np.zeros((cfg.pitch_cache_len,), np.float32),
         )
 
     @staticmethod
     def init_batch(cfg: ChunkConfig, batch: int) -> "StreamState":
         """Batched state for ``batch`` concurrent streams (DP axis)."""
         import jax
+        import numpy as np
 
         return jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (batch,) + x.shape), StreamState.init(cfg)
+            lambda x: np.broadcast_to(x, (batch,) + x.shape).copy(), StreamState.init(cfg)
         )
 
     def clear(self) -> "StreamState":

@@ -237,3 +237,43 @@ def test_resample_batched():
     assert y.shape == (4, 5120)
     y0 = np.asarray(resample_poly(jnp.asarray(x[0]), 48000, 16000))
     np.testing.assert_allclose(y[0], y0, atol=1e-6)
+
+
+# ---------- phase vocoder ----------
+
+def test_phase_vocoder_identical_signals_identity():
+    from obs_rvc_tpu.dsp import phase_vocoder_blend
+    from obs_rvc_tpu.dsp.window import fade_windows
+
+    n = 1920
+    t = np.arange(n) / 48000
+    a = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    fade_in, fade_out = fade_windows(n)
+    out = np.asarray(
+        phase_vocoder_blend(jnp.asarray(a), jnp.asarray(a), fade_out, fade_in)
+    )
+    # blending a signal with itself must reproduce it (phases agree)
+    np.testing.assert_allclose(out, a, atol=5e-3)
+
+
+def test_phase_vocoder_smooths_phase_jump():
+    from obs_rvc_tpu.dsp import phase_vocoder_blend
+    from obs_rvc_tpu.dsp.window import fade_windows
+
+    n, sr, f = 1920, 48000, 440.0
+    t = np.arange(n) / sr
+    a = np.sin(2 * np.pi * f * t).astype(np.float32)
+    b = np.sin(2 * np.pi * f * t + np.pi / 2).astype(np.float32)  # 90° jump
+    fade_in, fade_out = fade_windows(n)
+
+    plain = a * np.asarray(fade_out) + b * np.asarray(fade_in)
+    pv = np.asarray(phase_vocoder_blend(jnp.asarray(a), jnp.asarray(b), fade_out, fade_in))
+
+    # amplitude-only crossfade of out-of-phase tones dips in energy; the
+    # phase vocoder should preserve it much better in the middle region
+    mid = slice(n // 4, 3 * n // 4)
+    ref_rms = 1 / np.sqrt(2)
+    plain_rms = np.sqrt(np.mean(plain[mid] ** 2))
+    pv_rms = np.sqrt(np.mean(pv[mid] ** 2))
+    assert abs(pv_rms - ref_rms) < abs(plain_rms - ref_rms)
+    assert np.isfinite(pv).all()
