@@ -32,20 +32,23 @@ def sola_offset(
     is cross-correlation — no kernel flip — per the reference's own test
     ``obs-rvc/src/tests/sola.rs`` expecting 321).
 
-    TPU note: formulated as a VALID convolution (numerator) + prefix-sum
-    window energies (denominator) — no ``[search+1, buffer]`` gather, which
-    would serialize on the TPU scatter/gather unit.
+    TPU note: the numerator is an FFT cross-correlation (the reference uses
+    FFT convolution too, via ``ndarray_conv``) and the denominator uses
+    prefix-sum window energies. A direct formulation — either a
+    ``[search+1, buffer]`` window gather or a VALID conv with a
+    ~2000-tap kernel — is pathological for the TPU compiler (the long-kernel
+    conv was observed to hang the XLA TPU pipeline for minutes).
     """
     n_offsets = search_frame_size + 1
     conv_input = output_wav[: buffer_frame_size + search_frame_size]
 
-    cor_nom = jax.lax.conv_general_dilated(
-        conv_input[None, None, :],
-        sola_buffer[None, None, :],
-        window_strides=(1,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )[0, 0]  # [search+1]
+    # circular cross-correlation is exact for lags < N - len(conv_input)
+    n_fft = 1
+    while n_fft < buffer_frame_size + search_frame_size + n_offsets:
+        n_fft <<= 1
+    fx = jnp.fft.rfft(conv_input, n_fft)
+    fs = jnp.fft.rfft(sola_buffer, n_fft)
+    cor_nom = jnp.fft.irfft(fx * jnp.conj(fs), n_fft)[:n_offsets].astype(jnp.float32)
 
     csum = jnp.cumsum(jnp.concatenate([jnp.zeros((1,)), conv_input * conv_input]))
     energy = csum[buffer_frame_size:] - csum[:n_offsets]
