@@ -52,6 +52,71 @@ def load_synthesizer_params(path: str | pathlib.Path) -> tuple[dict, dict]:
     return W.convert_synthesizer(sd), meta
 
 
+_SR_STRINGS = {"32k": 32000, "40k": 40000, "48k": 48000}
+
+
+def synthesizer_config_from_meta(meta: dict):
+    """Build a SynthesizerConfig from the RVC checkpoint's ``config`` list
+    (the positional init args of SynthesizerTrnMs{256,768}NSFsid) + ``sr``/
+    ``version`` fields, so arbitrary user models load with their trained
+    geometry rather than our defaults."""
+    from obs_rvc_tpu.models.synthesizer import SynthesizerConfig
+
+    sr = meta.get("sr", 40000)
+    if isinstance(sr, str):
+        sr = _SR_STRINGS.get(sr, int(sr.rstrip("k")) * 1000 if sr.endswith("k") else int(sr))
+    version = str(meta.get("version", "v2"))
+    feature_dim = 256 if version == "v1" else 768
+
+    cfg = meta.get("config")
+    if not cfg:
+        return SynthesizerConfig.for_sample_rate(sr, feature_dim=feature_dim)
+    # positional layout of SynthesizerTrnMs*NSFsid.__init__
+    (
+        _spec_channels,
+        _segment_size,
+        inter_channels,
+        hidden_channels,
+        filter_channels,
+        n_heads,
+        n_layers,
+        kernel_size,
+        _p_dropout,
+        _resblock,
+        resblock_kernel_sizes,
+        resblock_dilation_sizes,
+        upsample_rates,
+        upsample_initial_channel,
+        upsample_kernel_sizes,
+        spk_embed_dim,
+        gin_channels,
+        *rest,
+    ) = cfg
+    if rest:
+        sr_val = rest[0]
+        if isinstance(sr_val, str):
+            sr = _SR_STRINGS.get(sr_val, sr)
+        elif isinstance(sr_val, int):
+            sr = sr_val
+    return SynthesizerConfig(
+        feature_dim=feature_dim,
+        inter_channels=inter_channels,
+        hidden_channels=hidden_channels,
+        filter_channels=filter_channels,
+        n_heads=n_heads,
+        n_layers=n_layers,
+        kernel_size=kernel_size,
+        resblock_kernel_sizes=tuple(resblock_kernel_sizes),
+        resblock_dilation_sizes=tuple(tuple(d) for d in resblock_dilation_sizes),
+        upsample_rates=tuple(upsample_rates),
+        upsample_kernel_sizes=tuple(upsample_kernel_sizes),
+        upsample_initial_channel=upsample_initial_channel,
+        spk_embed_dim=spk_embed_dim,
+        gin_channels=gin_channels,
+        sample_rate=sr,
+    )
+
+
 def load_pipeline_params(
     pipeline,
     contentvec_path: Optional[str] = None,
