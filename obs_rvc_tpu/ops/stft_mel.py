@@ -1,20 +1,25 @@
 """Fused STFT→mel→log Pallas kernel (the RMVPE mel frontend).
 
-One kernel computes, entirely in VMEM:
+The hop-strided framing happens outside the kernel (pure reshape/slice —
+``dsp.stft.frame_signal``; a 64×1024 f32 frame matrix is 256 KB, negligible
+HBM traffic). The kernel then performs the entire spectral chain in one
+VMEM residency, with no intermediate HBM round-trips:
 
-    frames[t] = signal[t*hop : t*hop + fft] * window      (overlapping reads)
-    re, im    = frames @ cos, frames @ (-sin)             (MXU, 128-padded)
-    mag       = sqrt(re² + im²)
-    mel       = mag @ mel_basisᵀ                          (MXU)
-    out       = ln(max(mel, clamp))
+    w     = frames * window                       (VPU)
+    re,im = w @ cos, w @ (-sin)                   (MXU, 128-padded bases)
+    mag   = sqrt(re² + im²)                       (VPU)
+    mel   = mag @ mel_basisᵀ                      (MXU)
+    out   = ln(max(mel, clamp))                   (VPU)
 
-vs the XLA path (``obs_rvc_tpu.dsp.stft/mel``) this avoids materializing the
-``[T, fft]`` frame matrix and the ``[T, n_bins]`` magnitude in HBM — the
-whole frontend is one HBM read of the signal and one write of ``[n_mels, T]``.
-Bases are zero-padded 513→640 lanes so every matmul is 128-aligned.
+vs the XLA path (``obs_rvc_tpu.dsp.mel.MelSpectrogram``) this guarantees the
+``[T, 513]`` magnitude never spills to HBM and the three matmuls pipeline on
+the MXU back-to-back. Bases are zero-padded 513→640 lanes so every matmul is
+128-aligned (alignment is also why framing lives outside: hop=160 dynamic
+slices are not lane-aligned and Mosaic rejects them).
 
-Budget at default geometry (T=64, fft=1024): signal 41 KB + bases 5.2 MB +
-scratch ≈ 0.6 MB — comfortably inside one core's VMEM, so the grid is 1.
+Budget at default geometry (T=64, fft=1024): frames 256 KB + bases 5.2 MB +
+intermediates ≈ 0.5 MB — comfortably inside one core's VMEM, so the grid
+is 1; for longer offline clips the grid tiles over frame blocks.
 """
 
 from __future__ import annotations
@@ -28,8 +33,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from obs_rvc_tpu.dsp.mel import mel_filterbank
-from obs_rvc_tpu.dsp.stft import dft_matrices
-from obs_rvc_tpu.dsp.window import hann_window_periodic
+from obs_rvc_tpu.dsp.stft import dft_matrices, frame_signal
+from obs_rvc_tpu.dsp.window import pad_reflect
 
 
 def _round_up(x: int, m: int) -> int:
@@ -47,24 +52,19 @@ def _constants(fft_size: int, n_mels: int, sample_rate: int, f_min: float, f_max
     sinp[:, :n_bins] = msin_b
     melb = np.zeros((bins_pad, n_mels), np.float32)
     melb[:n_bins, :] = mel_filterbank(sample_rate, fft_size, n_mels, f_min, f_max).T
-    win = np.asarray(hann_window_periodic(fft_size))
+    # pure-numpy periodic Hann (must not trace under jit)
+    i = np.arange(fft_size, dtype=np.float64)
+    win = (0.5 * (1.0 - np.cos(2.0 * np.pi * i / fft_size))).astype(np.float32)
     return cosp, sinp, melb, win, bins_pad
 
 
-def _kernel(sig_ref, win_ref, cos_ref, sin_ref, mel_ref, out_ref, frames_ref, *, hop, fft, T):
-    # build windowed frames [T, fft] in VMEM scratch
-    def body(t, _):
-        frames_ref[t, :] = sig_ref[pl.ds(t * hop, fft)] * win_ref[:]
-        return 0
-
-    jax.lax.fori_loop(0, T, body, 0)
-
-    frames = frames_ref[:]
-    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
+def _kernel(frames_ref, win_ref, cos_ref, sin_ref, mel_ref, out_ref, *, clamp):
+    w = frames_ref[:] * win_ref[:]
+    re = jnp.dot(w, cos_ref[:], preferred_element_type=jnp.float32)
+    im = jnp.dot(w, sin_ref[:], preferred_element_type=jnp.float32)
     mag = jnp.sqrt(re * re + im * im)
     mel = jnp.dot(mag, mel_ref[:], preferred_element_type=jnp.float32)  # [T, n_mels]
-    out_ref[:] = jnp.log(jnp.maximum(mel, 1e-5)).T  # [n_mels, T]
+    out_ref[:] = jnp.log(jnp.maximum(mel, clamp))
 
 
 def log_mel_pallas(
@@ -75,35 +75,37 @@ def log_mel_pallas(
     sample_rate: int = 16000,
     f_min: float = 30.0,
     f_max: float = 8000.0,
+    clamp: float = 1e-5,
+    block_t: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Log-mel ``[n_mels, 1 + L//hop]`` of a 1-D signal (center/reflect
-    padding applied here, outside the kernel)."""
+    """Log-mel ``[n_mels, 1 + L//hop]`` of a 1-D signal with center/reflect
+    padding (parity with ``MelSpectrogram()`` at keyshift 0)."""
     L = signal.shape[0]
     T = 1 + L // hop_length
-    padded = jnp.pad(signal.astype(jnp.float32), ((fft_size // 2, fft_size // 2),), mode="reflect")
-    # pad tail so the last frame's dynamic slice stays in bounds after
-    # rounding T up for tiling (reads beyond T are discarded)
+    padded = pad_reflect(signal.astype(jnp.float32), fft_size // 2)
+
     T_pad = _round_up(T, 8)
-    need = (T_pad - 1) * hop_length + fft_size
-    if padded.shape[0] < need:
-        padded = jnp.pad(padded, ((0, need - padded.shape[0]),))
+    frames = frame_signal(padded, fft_size, hop_length, T_pad)  # [T_pad, fft]
 
     cosp, sinp, melb, win, bins_pad = _constants(fft_size, n_mels, sample_rate, f_min, f_max)
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, hop=hop_length, fft=fft_size, T=T_pad),
-        out_shape=jax.ShapeDtypeStruct((n_mels, T_pad), jnp.float32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # signal
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # window
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # cos
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # -sin
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # mel basis
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((T_pad, fft_size), jnp.float32)],
-        interpret=interpret,
-    )(padded, jnp.asarray(win), jnp.asarray(cosp), jnp.asarray(sinp), jnp.asarray(melb))
+    block_t = min(_round_up(T_pad, 8), block_t)
+    grid = (pl.cdiv(T_pad, block_t),)
 
-    return out[:, :T]
+    out = pl.pallas_call(
+        functools.partial(_kernel, clamp=clamp),
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((T_pad, n_mels), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((block_t, fft_size), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fft_size,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fft_size, bins_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fft_size, bins_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bins_pad, n_mels), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_t, n_mels), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(frames, jnp.asarray(win), jnp.asarray(cosp), jnp.asarray(sinp), jnp.asarray(melb))
+
+    return out[:T].T

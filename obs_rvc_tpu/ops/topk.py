@@ -66,22 +66,27 @@ def _kernel(q_ref, vt_ref, norm_ref, val_ref, idx_ref, best_val, best_idx, *, k,
 
     @pl.when(step == n_steps - 1)
     def _():
-        # emit sorted (descending score = ascending distance)
-        vals = best_val[:]
-        idxs = best_idx[:]
-
+        # emit sorted (descending score = ascending distance); build the
+        # sorted buffers as values and store once — per-column dynamic
+        # stores are not lane-aligned for Mosaic
         def emit(i, carry):
-            vals, idxs = carry
+            vals, idxs, out_v, out_i = carry
             m = jnp.max(vals, axis=1, keepdims=True)
             am = jnp.argmax(vals, axis=1)
             hit = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1) == am[:, None]
-            ids = jnp.sum(jnp.where(hit, idxs, 0), axis=1)
-            val_ref[:, i] = m[:, 0]
-            idx_ref[:, i] = ids
+            ids = jnp.sum(jnp.where(hit, idxs, 0), axis=1, keepdims=True)
+            col = jax.lax.broadcasted_iota(jnp.int32, out_v.shape, 1) == i
+            out_v = jnp.where(col, m, out_v)
+            out_i = jnp.where(col, ids, out_i)
             vals = jnp.where(hit, NEG_INF, vals)
-            return vals, idxs
+            return vals, idxs, out_v, out_i
 
-        jax.lax.fori_loop(0, k, emit, (vals, idxs))
+        _, _, out_v, out_i = jax.lax.fori_loop(
+            0, k, emit,
+            (best_val[:], best_idx[:], jnp.zeros_like(best_val[:]), jnp.zeros_like(best_idx[:])),
+        )
+        val_ref[:] = out_v
+        idx_ref[:] = out_i
 
 
 def topk_l2_pallas(
@@ -89,7 +94,7 @@ def topk_l2_pallas(
     vectors: jnp.ndarray,   # [N, C]
     norms: jnp.ndarray,     # [N] squared norms
     k: int = 8,
-    block_n: int = 8192,
+    block_n: int = 2048,  # VMEM: C x block_n slab must fit (~6 MB at C=768)
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """→ (scores [Q, k], indices [Q, k]); ``score = 2 q·v - |v|²`` descending
