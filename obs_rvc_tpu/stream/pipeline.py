@@ -523,3 +523,21 @@ class RvcPipeline:
             state, out = self.jit_step(params, state, chunk, controls)
             outs.append(out)
         return jnp.concatenate(outs) if outs else jnp.zeros((0,), jnp.float32)
+
+    @functools.cached_property
+    def jit_convert_scan(self):
+        """Whole-utterance conversion as ONE executable: the chunk loop is a
+        ``lax.scan`` over the step, so offline conversion costs a single
+        dispatch regardless of clip length. Input ``[n_chunks,
+        sample_frame_size]`` (host pre-chunked), output flattened audio."""
+
+        def convert(params, wav_chunks, controls):
+            state = jax.tree.map(jnp.asarray, StreamState.init(self.cfg))
+
+            def body(state, chunk):
+                return self.step(params, state, chunk, controls)
+
+            _, outs = jax.lax.scan(body, state, wav_chunks)
+            return outs.reshape(-1)
+
+        return jax.jit(convert)

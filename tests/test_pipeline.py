@@ -159,3 +159,56 @@ def test_batched_step_matches_single():
     state1 = StreamState.init(cfg)
     _, out0 = pipe.jit_step({}, state1, chunks[0], controls1)
     np.testing.assert_allclose(np.asarray(outB[0]), np.asarray(out0), atol=1e-5)
+
+
+def test_convert_scan_matches_loop():
+    cfg = small_cfg(skip_inference=True)
+    pipe = RvcPipeline(cfg)
+    controls = StepControls.default()
+    rng = np.random.default_rng(7)
+    wav = rng.standard_normal(5 * cfg.sample_frame_size).astype(np.float32) * 0.3
+
+    loop_out = np.asarray(pipe.convert_offline({}, jnp.asarray(wav), controls))
+    chunks = jnp.asarray(wav.reshape(5, cfg.sample_frame_size))
+    scan_out = np.asarray(pipe.jit_convert_scan({}, chunks, controls))
+    np.testing.assert_allclose(scan_out, loop_out, atol=1e-5)
+
+
+def test_pipeline_with_retrieval_index():
+    from obs_rvc_tpu.retrieval import RetrievalIndex
+
+    cfg = small_cfg()
+    from obs_rvc_tpu.models import ContentVecConfig, RMVPEConfig, SynthesizerConfig
+
+    pipe = RvcPipeline(
+        cfg,
+        RvcModelVersion.V2,
+        retrieval_index=RetrievalIndex(),
+        contentvec_cfg=ContentVecConfig(
+            dim=64, num_layers=2, tap_layer=2, num_heads=4, ffn_dim=128, out_dim=64
+        ),
+        rmvpe_cfg=RMVPEConfig(n_blocks=1, inter_layers=1, en_out_channels=2, gru_hidden=16),
+        synth_cfg=SynthesizerConfig.for_sample_rate(40000, feature_dim=64),
+    )
+    params = pipe.init_params_fast(0)
+    rng = np.random.default_rng(8)
+    params["index"] = RetrievalIndex.make_params(
+        rng.standard_normal((500, 64)).astype(np.float32)
+    )
+    controls = StepControls.default(index_rate=0.75)
+    chunk = jnp.asarray(rng.standard_normal(cfg.sample_frame_size).astype(np.float32) * 0.1)
+    state, out = pipe.jit_step(params, StreamState.init(cfg), chunk, controls)
+    assert out.shape == (cfg.sample_frame_size,)
+    assert np.isfinite(np.asarray(out)).all()
+    # index_rate=0 must equal the no-index pipeline output
+    controls0 = StepControls.default(index_rate=0.0)
+    state2, out0 = pipe.jit_step(params, StreamState.init(cfg), chunk, controls0)
+    pipe_noidx = RvcPipeline(
+        cfg,
+        RvcModelVersion.V2,
+        contentvec_cfg=pipe.contentvec_cfg,
+        rmvpe_cfg=pipe.rmvpe_cfg,
+        synth_cfg=pipe.synth_cfg,
+    )
+    _, out_ref = pipe_noidx.jit_step(params, StreamState.init(cfg), chunk, controls0)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out_ref), atol=1e-5)
