@@ -24,9 +24,20 @@ def _torch_load(path: str | pathlib.Path) -> Any:
     return torch.load(path, map_location="cpu", weights_only=False)
 
 
+def _load_state_dict(path: str | pathlib.Path) -> Any:
+    """Load a weight container: torch ``.pth``/``.pt`` or ``.onnx`` (parsed
+    without the onnx package — torch-exported initializer names follow the
+    state-dict names, so the same converters apply)."""
+    if str(path).endswith(".onnx"):
+        from obs_rvc_tpu.models.onnx_reader import read_onnx_initializers
+
+        return read_onnx_initializers(path)
+    return _torch_load(path)
+
+
 def load_contentvec_params(path: str | pathlib.Path, num_layers: int, final_proj: bool) -> dict:
     """fairseq ContentVec/HuBERT ``.pt`` → ContentVec variables."""
-    ckpt = _torch_load(path)
+    ckpt = _load_state_dict(path)
     sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
     # fairseq prefixes with the wrapper module name sometimes
     sd = {k.removeprefix("hubert.").removeprefix("model."): v for k, v in sd.items()}
@@ -34,7 +45,7 @@ def load_contentvec_params(path: str | pathlib.Path, num_layers: int, final_proj
 
 
 def load_rmvpe_params(path: str | pathlib.Path) -> dict:
-    ckpt = _torch_load(path)
+    ckpt = _load_state_dict(path)
     sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
     return W.convert_rmvpe(sd)
 
@@ -43,7 +54,7 @@ def load_synthesizer_params(path: str | pathlib.Path) -> tuple[dict, dict]:
     """RVC ``.pth`` → (Synthesizer variables, metadata). Metadata includes
     ``sr`` / ``f0`` / ``version`` when the checkpoint carries them (the small
     RVC release format)."""
-    ckpt = _torch_load(path)
+    ckpt = _load_state_dict(path)
     meta = {}
     sd = ckpt
     if isinstance(ckpt, dict) and "weight" in ckpt:

@@ -340,7 +340,8 @@ def convert_synthesizer(
         wn: dict[str, Any] = {"cond_layer": conv1x1_as_dense(sd, f"{f}.enc.cond_layer", weight_normed=True)}
         for j in range(flow_layers):
             wn[f"in_{j}"] = conv1d(sd, f"{f}.enc.in_layers.{j}", weight_normed=True)
-            wn[f"res_skip_{j}"] = conv1x1_as_dense(sd, f"{f}.enc.res_skip_layers.{j}", weight_normed=True)
+            # res_skip is a k=1 nn.Conv in our WN (kernel [1, in, out])
+            wn[f"res_skip_{j}"] = conv1d(sd, f"{f}.enc.res_skip_layers.{j}", weight_normed=True)
         flow[f"flow_{i}"] = {
             "pre": conv1x1_as_dense(sd, f"{f}.pre"),
             "post": conv1x1_as_dense(sd, f"{f}.post"),

@@ -162,3 +162,32 @@ def test_conv1x1_as_dense_parity():
     p = W.conv1x1_as_dense({"c.weight": conv.weight, "c.bias": conv.bias}, "c")
     got = np.asarray(jnp.asarray(x.numpy().transpose(0, 2, 1)) @ p["kernel"] + p["bias"])
     np.testing.assert_allclose(got.transpose(0, 2, 1), want, atol=1e-5)
+
+
+def test_onnx_reader_roundtrip(tmp_path):
+    from obs_rvc_tpu.models.onnx_reader import read_onnx_initializers, write_onnx_weights
+
+    rng = np.random.default_rng(0)
+    tensors = {
+        "enc_p.emb_phone.weight": rng.standard_normal((192, 768)).astype(np.float32),
+        "dec.ups.0.bias": rng.standard_normal(256).astype(np.float32),
+        "some.int64.param": np.arange(7, dtype=np.int64),
+        "half.precision": rng.standard_normal((4, 5)).astype(np.float16),
+    }
+    path = tmp_path / "weights.onnx"
+    write_onnx_weights(path, tensors)
+    back = read_onnx_initializers(path)
+    assert set(back) == set(tensors)
+    np.testing.assert_array_equal(back["enc_p.emb_phone.weight"], tensors["enc_p.emb_phone.weight"])
+    np.testing.assert_array_equal(back["some.int64.param"], tensors["some.int64.param"])
+    # f16 is widened to f32 on read
+    np.testing.assert_allclose(back["half.precision"], tensors["half.precision"].astype(np.float32))
+
+
+def test_onnx_reader_rejects_garbage(tmp_path):
+    from obs_rvc_tpu.models.onnx_reader import read_onnx_initializers
+
+    p = tmp_path / "bad.onnx"
+    p.write_bytes(b"\x08\x05")  # valid protobuf, no graph
+    with pytest.raises(ValueError):
+        read_onnx_initializers(p)
