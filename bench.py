@@ -29,8 +29,11 @@ def main() -> None:
         "--mode",
         choices=["staged", "fused"],
         default="staged",
-        help="staged = five per-stage executables (fast, reliable compile); "
+        help="staged = per-stage executables (fast, reliable compile); "
         "fused = one monolithic XLA program (slowest compile, fewest dispatches)",
+    )
+    parser.add_argument(
+        "--profile", metavar="DIR", help="capture a jax.profiler trace of the measured steps"
     )
     args = parser.parse_args()
 
@@ -82,15 +85,22 @@ def main() -> None:
         state, out = step(params, state, make_chunk(), controls)
     jax.block_until_ready(out)
 
+    import contextlib
+
+    profile_ctx = (
+        jax.profiler.trace(args.profile) if args.profile else contextlib.nullcontext()
+    )
+
     # synchronous per-chunk latency (worst case: block every step)
     times = []
-    for _ in range(args.steps):
-        chunk = make_chunk()
-        jax.block_until_ready(chunk)
-        t0 = time.perf_counter()
-        state, out = step(params, state, chunk, controls)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) * 1000.0)
+    with profile_ctx:
+        for _ in range(args.steps):
+            chunk = make_chunk()
+            jax.block_until_ready(chunk)
+            t0 = time.perf_counter()
+            state, out = step(params, state, chunk, controls)
+            jax.block_until_ready(out)
+            times.append((time.perf_counter() - t0) * 1000.0)
 
     # sustained throughput: async dispatch pipelines host↔device latency
     # away (steps chain through the carried state; one sync at the end)

@@ -1,0 +1,135 @@
+"""Duplex PCM streaming server — the modern front door.
+
+Where ``serve.rpc`` reproduces the reference's engine-level protocol (16 kHz
+model buffers in, model-rate audio out), this serves *device-rate* audio
+end-to-end: the client streams mono PCM frames of any size and receives
+converted frames, with the whole chunk pipeline (ring buffers, SOLA, RMS)
+server-side — i.e. the role of the OBS filter itself, over a socket.
+
+Wire protocol (little-endian, tag-framed):
+
+    client → server:
+        0x01 [u32 n][n × f32]        audio frame (device-rate mono)
+        0x02 [u32 len][JSON]         live control update
+                                     {"pitch_shift": 12, "rms_mix_rate": .5,
+                                      "index_rate": 0, "sid": 0}
+        0x03                          flush/close
+    server → client (after each audio frame):
+        0x01 [u32 n][n × f32]        converted audio available so far
+                                     (n may be 0 while the pipeline fills)
+
+Per-connection state is one :class:`StreamSession`; the conversion worker
+runs on the session's thread, so the socket loop never blocks on TPU work.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+import sys
+from typing import BinaryIO
+
+import numpy as np
+
+from obs_rvc_tpu.stream.scheduler import StreamSession
+
+TAG_AUDIO = 1
+TAG_CONTROL = 2
+TAG_CLOSE = 3
+
+
+def _read_exact(f: BinaryIO, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        got = f.read(n - len(buf))
+        if not got:
+            raise EOFError
+        buf += got
+    return buf
+
+
+def serve_connection(session: StreamSession, rin: BinaryIO, rout: BinaryIO) -> None:
+    session.start()
+    try:
+        while True:
+            try:
+                tag = _read_exact(rin, 1)[0]
+            except EOFError:
+                return
+            if tag == TAG_AUDIO:
+                (n,) = struct.unpack("<I", _read_exact(rin, 4))
+                frame = np.frombuffer(_read_exact(rin, 4 * n), dtype="<f4")
+                session.push_audio(frame)
+                out = session.pull_audio(n)
+                rout.write(bytes([TAG_AUDIO]))
+                rout.write(struct.pack("<I", out.size))
+                rout.write(np.ascontiguousarray(out, dtype="<f4").tobytes())
+                rout.flush()
+            elif tag == TAG_CONTROL:
+                (ln,) = struct.unpack("<I", _read_exact(rin, 4))
+                updates = json.loads(_read_exact(rin, ln))
+                session.update_controls(**updates)
+            elif tag == TAG_CLOSE:
+                return
+            else:
+                raise ValueError(f"unknown tag {tag}")
+    finally:
+        session.stop()
+
+
+class StreamClient:
+    """Client side of the duplex protocol."""
+
+    def __init__(self, rin: BinaryIO, rout: BinaryIO):
+        self._rin = rin
+        self._rout = rout
+
+    @staticmethod
+    def connect_tcp(host: str, port: int) -> "StreamClient":
+        sock = socket.create_connection((host, port))
+        return StreamClient(sock.makefile("rb"), sock.makefile("wb"))
+
+    def send_audio(self, frame: np.ndarray) -> np.ndarray:
+        frame = np.ascontiguousarray(frame, dtype="<f4")
+        self._rout.write(bytes([TAG_AUDIO]))
+        self._rout.write(struct.pack("<I", frame.size))
+        self._rout.write(frame.tobytes())
+        self._rout.flush()
+        tag = _read_exact(self._rin, 1)[0]
+        assert tag == TAG_AUDIO
+        (n,) = struct.unpack("<I", _read_exact(self._rin, 4))
+        return np.frombuffer(_read_exact(self._rin, 4 * n), dtype="<f4").copy()
+
+    def update_controls(self, **updates) -> None:
+        payload = json.dumps(updates).encode()
+        self._rout.write(bytes([TAG_CONTROL]))
+        self._rout.write(struct.pack("<I", len(payload)))
+        self._rout.write(payload)
+        self._rout.flush()
+
+    def close(self) -> None:
+        try:
+            self._rout.write(bytes([TAG_CLOSE]))
+            self._rout.flush()
+        except Exception:
+            pass
+
+
+def serve_tcp(make_session, host: str, port: int) -> None:
+    """Accept loop; ``make_session()`` builds a fresh StreamSession per
+    connection (streams are independent — DP across connections comes from
+    batching sessions onto the chip in future rounds)."""
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as srv:
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind((host, port))
+        srv.listen(4)
+        print(f"stream server on {host}:{port}", file=sys.stderr)
+        while True:
+            conn, addr = srv.accept()
+            print(f"stream client {addr}", file=sys.stderr)
+            with conn, conn.makefile("rb") as rin, conn.makefile("wb") as rout:
+                try:
+                    serve_connection(make_session(), rin, rout)
+                except (EOFError, ConnectionError):
+                    pass

@@ -209,3 +209,67 @@ def test_wav_roundtrip(tmp_path):
     up = upmix_from_mono(mono, 2)
     assert up.shape == (2, 4800)
     np.testing.assert_array_equal(up[0], up[1])
+
+
+# ---------- duplex stream server ----------
+
+def test_stream_server_duplex_tone():
+    import socket as socket_mod
+    import threading
+    import time as time_mod
+
+    from obs_rvc_tpu.serve.stream_server import StreamClient, serve_connection
+
+    cfg = small_cfg(skip_inference=True)
+    pipe = RvcPipeline(cfg)
+    # pre-compile the step so the socket loop isn't racing a cold jit
+    from obs_rvc_tpu.stream import StepControls, StreamState
+    import jax.numpy as jnp
+
+    pipe.jit_step({}, StreamState.init(cfg), jnp.zeros(cfg.sample_frame_size),
+                  StepControls.default())
+    session = StreamSession(pipe, params={})
+
+    server_sock, client_sock = socket_mod.socketpair()
+    t = threading.Thread(
+        target=serve_connection,
+        args=(session, server_sock.makefile("rb"), server_sock.makefile("wb")),
+        daemon=True,
+    )
+    t.start()
+
+    client = StreamClient(client_sock.makefile("rb"), client_sock.makefile("wb"))
+    client.update_controls(pitch_shift=3.0, rms_mix_rate=1.0)
+
+    sr, f = 48000, 440.0
+    n = 8 * cfg.sample_frame_size
+    wav = np.sin(2 * np.pi * f * np.arange(n) / sr).astype(np.float32)
+
+    out = []
+    frame = 2400
+    total = 0
+    i = 0
+    while i < n:
+        got = client.send_audio(wav[i : i + frame])
+        out.append(got)
+        total += got.size
+        i += frame
+        time_mod.sleep(0.002)  # pace roughly; let the worker drain
+    # keep feeding silence until enough converted audio has come back
+    deadline = time_mod.time() + 60
+    while total < 5 * cfg.sample_frame_size and time_mod.time() < deadline:
+        got = client.send_audio(np.zeros(frame, np.float32))
+        out.append(got)
+        total += got.size
+        time_mod.sleep(0.01)
+    client.close()
+    t.join(timeout=10)
+
+    got = np.concatenate(out)
+    assert got.size >= 5 * cfg.sample_frame_size
+    tail = got[2 * cfg.sample_frame_size : 5 * cfg.sample_frame_size]
+    spec = np.abs(np.fft.rfft(tail * np.hanning(tail.size)))
+    peak_hz = np.argmax(spec) * sr / tail.size
+    assert abs(peak_hz - f) < 6.0
+    # control update landed
+    assert float(session.controls.pitch_shift) == 3.0
