@@ -17,5 +17,6 @@ TPU-natively:
 
 from obs_rvc_tpu.retrieval.index import RetrievalIndex, knn_blend
 from obs_rvc_tpu.retrieval.faiss_reader import load_index_vectors
+from obs_rvc_tpu.retrieval.build import build_index, extract_features
 
-__all__ = ["RetrievalIndex", "knn_blend", "load_index_vectors"]
+__all__ = ["RetrievalIndex", "knn_blend", "load_index_vectors", "build_index", "extract_features"]

@@ -99,10 +99,15 @@ class RetrievalIndex:
         self.mesh = mesh
 
     @staticmethod
-    def make_params(vectors: np.ndarray) -> dict:
-        """Build the params subtree from a [N, C] float table."""
-        v = np.asarray(vectors, dtype=np.float32)
-        return {"vectors": v, "norms": np.sum(v * v, axis=-1)}
+    def make_params(vectors: np.ndarray, dtype=np.float32) -> dict:
+        """Build the params subtree from a [N, C] float table.
+
+        ``dtype=jnp.bfloat16`` halves HBM traffic of the distance matmul
+        (the 1M-vector search is bandwidth-bound; see BENCHMARKS.md) —
+        norms stay f32 and distances accumulate in f32 either way."""
+        v32 = np.asarray(vectors, dtype=np.float32)
+        norms = np.sum(v32 * v32, axis=-1)
+        return {"vectors": v32.astype(dtype), "norms": norms}
 
     def blend(self, index_params: Optional[dict], phone: jnp.ndarray,
               index_rate: jnp.ndarray | float) -> jnp.ndarray:

@@ -83,3 +83,48 @@ def test_load_index_vectors_npy(tmp_path):
     np.save(tmp_path / "total_fea.npy", vectors)
     got = load_index_vectors(tmp_path / "total_fea.npy")
     np.testing.assert_array_equal(got, vectors)
+
+
+def test_build_index_pipeline(tmp_path):
+    """extract features with a tiny encoder, build all artifact formats,
+    load each back, and use it in a retrieval blend."""
+    from obs_rvc_tpu.config import ChunkConfig, RvcModelVersion
+    from obs_rvc_tpu.models import ContentVecConfig, RMVPEConfig, SynthesizerConfig
+    from obs_rvc_tpu.retrieval import build_index, extract_features
+    from obs_rvc_tpu.stream import RvcPipeline
+
+    cfg = ChunkConfig.build(sample_rate=48000, sample_length=0.10, extra_inference_time=0.50)
+    pipe = RvcPipeline(
+        cfg,
+        RvcModelVersion.V2,
+        contentvec_cfg=ContentVecConfig(
+            dim=64, num_layers=2, tap_layer=2, num_heads=4, ffn_dim=128, out_dim=64
+        ),
+        rmvpe_cfg=RMVPEConfig(n_blocks=1, inter_layers=1, en_out_channels=2, gru_hidden=16),
+        synth_cfg=SynthesizerConfig.for_sample_rate(40000, feature_dim=64),
+    )
+    params = pipe.init_params_fast(0)
+
+    rng = np.random.default_rng(0)
+    wavs = [rng.standard_normal(16000).astype(np.float32) * 0.1 for _ in range(2)]
+    feats = extract_features(pipe, params, wavs)
+    assert feats.ndim == 2 and feats.shape[1] == 64
+    # 1 s at 100 Hz → ~97 rows per clip (2T+1 with T=48)
+    assert feats.shape[0] > 150
+
+    for suffix in (".npy", ".index", ".onnx"):
+        path = tmp_path / f"voice{suffix}"
+        table = build_index(feats, path, max_vectors=100)
+        assert table.shape == (100, 64)
+        if suffix == ".onnx":
+            from obs_rvc_tpu.models.onnx_reader import read_onnx_initializers
+
+            back = read_onnx_initializers(path)["vectors"]
+        else:
+            back = load_index_vectors(path)
+        np.testing.assert_allclose(back, table, atol=1e-6)
+
+    p = RetrievalIndex.make_params(table)
+    phone = jnp.asarray(feats[None, :5, :])
+    out = knn_blend(jnp.asarray(p["vectors"]), jnp.asarray(p["norms"]), phone, 0.75)
+    assert np.isfinite(np.asarray(out)).all()
