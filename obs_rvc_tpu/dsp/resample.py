@@ -15,7 +15,6 @@ first 160 output samples are discarded as warmup, ``lib.rs:673-678``).
 from __future__ import annotations
 
 import functools
-import math
 
 import numpy as np
 import jax

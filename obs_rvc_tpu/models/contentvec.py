@@ -24,8 +24,6 @@ the checkpoint allows; attention over T≈120-240 frames runs dense on the MXU
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

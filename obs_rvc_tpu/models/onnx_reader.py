@@ -20,7 +20,6 @@ Wire-format subset (ONNX proto3):
 from __future__ import annotations
 
 import pathlib
-import struct
 from typing import Iterator
 
 import numpy as np

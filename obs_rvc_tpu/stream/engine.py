@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from obs_rvc_tpu.config import RMVPE_HOP
 from obs_rvc_tpu.stream.pipeline import RvcPipeline, StepControls
 from obs_rvc_tpu.stream.state import StreamState
 

@@ -133,7 +133,6 @@ class StreamSession:
     # --- live settings (tier-1 hot reload) ---
 
     def update_controls(self, **kwargs) -> None:
-        import dataclasses as _dc
         import jax.numpy as jnp
 
         updates = {

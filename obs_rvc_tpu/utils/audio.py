@@ -8,7 +8,6 @@ stdlib (no soundfile dependency in the image): PCM16/24/32 and float32.
 from __future__ import annotations
 
 import pathlib
-import struct
 import wave
 
 import numpy as np

@@ -212,3 +212,28 @@ def test_pipeline_with_retrieval_index():
     )
     _, out_ref = pipe_noidx.jit_step(params, StreamState.init(cfg), chunk, controls0)
     np.testing.assert_allclose(np.asarray(out0), np.asarray(out_ref), atol=1e-5)
+
+
+def test_v1_model_family_step():
+    """v1: 256-dim features via final_proj, 9-layer tap — full step runs."""
+    from obs_rvc_tpu.models import ContentVecConfig, RMVPEConfig, SynthesizerConfig
+
+    cfg = small_cfg()
+    pipe = RvcPipeline(
+        cfg,
+        RvcModelVersion.V1,
+        contentvec_cfg=ContentVecConfig(
+            dim=64, num_layers=3, tap_layer=2, num_heads=4, ffn_dim=128,
+            out_dim=32, final_proj=True,
+        ),
+        rmvpe_cfg=RMVPEConfig(n_blocks=1, inter_layers=1, en_out_channels=2, gru_hidden=16),
+        synth_cfg=SynthesizerConfig.for_sample_rate(40000, feature_dim=32),
+    )
+    params = pipe.init_params_fast(0)
+    controls = StepControls.default(pitch_shift=-12.0)
+    chunk = jnp.asarray(
+        np.random.default_rng(9).standard_normal(cfg.sample_frame_size).astype(np.float32) * 0.1
+    )
+    _, out = pipe.jit_step(params, StreamState.init(cfg), chunk, controls)
+    assert out.shape == (cfg.sample_frame_size,)
+    assert np.isfinite(np.asarray(out)).all()
