@@ -39,10 +39,13 @@ class StreamSession:
         controls: Optional[StepControls] = None,
         input_capacity_chunks: int = 8,
         output_capacity_chunks: int = 12,
+        mode: str = "staged",
     ):
         self.pipeline = pipeline
         self.params = params
         self.controls = controls if controls is not None else StepControls.default()
+        #: "staged" (default; robust compile, per-stage programs) or "fused"
+        self.mode = mode
         cfg = pipeline.cfg
         self._chunk = cfg.sample_frame_size
         self._in = make_ring_buffer(self._chunk * input_capacity_chunks)
@@ -85,11 +88,12 @@ class StreamSession:
             chunk = self._in.pop_exact(self._chunk)
             if chunk is None:
                 break
+            step = (
+                self.pipeline.staged_step if self.mode == "staged" else self.pipeline.jit_step
+            )
             with self.metrics.time_chunk():
                 try:
-                    self.state, out = self.pipeline.jit_step(
-                        self.params, self.state, chunk, self.controls
-                    )
+                    self.state, out = step(self.params, self.state, chunk, self.controls)
                     out = np.asarray(jax.block_until_ready(out))
                 except Exception:
                     # engine failure → silence chunk + state reset (lib.rs:716-727)

@@ -277,3 +277,43 @@ def test_phase_vocoder_smooths_phase_jump():
     pv_rms = np.sqrt(np.mean(pv[mid] ** 2))
     assert abs(pv_rms - ref_rms) < abs(plain_rms - ref_rms)
     assert np.isfinite(pv).all()
+
+
+# ---------- upstream-Python RMVPE decode parity (fuzz) ----------
+
+def _python_rmvpe_to_local_average_cents(salience, thred=0.03):
+    """numpy replica of upstream Python RVC's RMVPE.to_local_average_cents
+    (the semantic target; the reference Rust diverges — see dsp/f0.py)."""
+    cents_mapping = np.asarray(CENTS_MAPPING)
+    center = np.argmax(salience, axis=1)  # [T]
+    salience_pad = np.pad(salience, ((0, 0), (4, 4)))
+    center = center + 4
+    todo_salience = []
+    todo_cents_mapping = []
+    starts = center - 4
+    ends = center + 5
+    for idx in range(salience.shape[0]):
+        todo_salience.append(salience_pad[idx, starts[idx] : ends[idx]])
+        todo_cents_mapping.append(cents_mapping[starts[idx] : ends[idx]])
+    todo_salience = np.array(todo_salience)
+    todo_cents_mapping = np.array(todo_cents_mapping)
+    product_sum = np.sum(todo_salience * todo_cents_mapping, 1)
+    weight_sum = np.sum(todo_salience, 1)
+    devided = product_sum / weight_sum
+    maxx = np.max(salience, axis=1)
+    devided[maxx <= thred] = 0
+    return devided
+
+
+def test_to_local_average_cents_fuzz_vs_python_rmvpe():
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        sal = rng.random((16, 360)).astype(np.float32)
+        # sprinkle sharp peaks incl. at the edges
+        for t in range(16):
+            sal[t, rng.integers(0, 360)] += rng.random() * 3
+        sal[0, 0] += 5.0
+        sal[1, 359] += 5.0
+        want = _python_rmvpe_to_local_average_cents(sal)
+        got = np.asarray(to_local_average_cents(jnp.asarray(sal), 0.03))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)

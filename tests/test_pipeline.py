@@ -237,3 +237,28 @@ def test_v1_model_family_step():
     _, out = pipe.jit_step(params, StreamState.init(cfg), chunk, controls)
     assert out.shape == (cfg.sample_frame_size,)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pitch_cache_multi_chunk_simulation():
+    """Iterate slide_pitch_cache over many chunks against a pure-numpy
+    simulation of rvc.rs:164-182 (copy_within + tail write + slice)."""
+    rng = np.random.default_rng(12)
+    cache_np = np.zeros(1024, np.float32)
+    cache_jx = jnp.zeros(1024)
+    shift, pitch_len = 30, 64
+    hubert_length, skip_head, return_length = 237, 200, 35
+
+    for step in range(12):
+        f0 = rng.random(pitch_len).astype(np.float32) * 400
+
+        cache_np[: 1024 - shift] = cache_np[shift:]
+        start = 1024 + 4 - pitch_len
+        cache_np[start:] = f0[3 : pitch_len - 1]
+        s0 = 1024 - hubert_length + skip_head
+        want_slice = cache_np[s0 : s0 + return_length]
+
+        cache_jx = slide_pitch_cache(cache_jx, jnp.asarray(f0), shift)
+        got_slice = np.asarray(cache_jx)[s0 : s0 + return_length]
+
+        np.testing.assert_array_equal(np.asarray(cache_jx), cache_np)
+        np.testing.assert_array_equal(got_slice, want_slice)
