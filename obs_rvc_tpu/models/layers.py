@@ -45,6 +45,41 @@ def conv_transpose_torch(
     )
 
 
+def conv_transpose_1d_frames(
+    x: jnp.ndarray,        # [B, T, Cin]
+    kernel: jnp.ndarray,   # [k, Cin, Cout], spatially flipped (same storage
+                           # as conv_transpose_torch)
+    stride: int,
+    padding: int,
+) -> jnp.ndarray:
+    """ConvTranspose1d as a frame matmul — MXU-dense, no zero-stuffed input.
+
+    Derivation: with torch kernel ``w`` (``= kernel[::-1]``), the full output
+    at ``u = s*q + r`` is ``sum_d x[q-d] · w[r + s*d]`` with
+    ``D = ceil(k/s)`` taps. So stack D shifted copies of ``x`` →
+    ``[T+D-1, D*Cin]`` and hit a ``[D*Cin, s*Cout]`` reorganized kernel:
+    one matmul instead of a stride-1 conv over an s-dilated input (s× fewer
+    MACs; for the vocoder's 10× upsamplers this is the hot layer).
+    Output cropped to ``T*s`` (requires ``2*padding == k - s``, the HiFiGAN
+    convention)."""
+    B, T, Cin = x.shape
+    k, _, Cout = kernel.shape
+    s = stride
+    D = -(-k // s)
+    w = kernel[::-1]  # torch orientation [k, Cin, Cout]
+    # W2[d, c, r, o] = w[r + s*d, c, o], zero-padded where r+s*d >= k
+    wpad = jnp.pad(w, ((0, D * s - k), (0, 0), (0, 0)))
+    w2 = wpad.reshape(D, s, Cin, Cout).transpose(0, 2, 1, 3).reshape(D * Cin, s * Cout)
+
+    # pad left so x[q-d] reads zeros for q<d, right so q up to T+D-2 is valid
+    xp = jnp.pad(x, ((0, 0), (D - 1, D - 1), (0, 0)))
+    frames = jnp.concatenate(
+        [xp[:, D - 1 - d : D - 1 - d + T + D - 1, :] for d in range(D)], axis=-1
+    )  # [B, T+D-1, D*Cin] with frames[:, q, d-block] = x[q-d]
+    full = jnp.einsum("btc,co->bto", frames, w2).reshape(B, (T + D - 1) * s, Cout)
+    return jax.lax.dynamic_slice_in_dim(full, padding, T * s, axis=1)
+
+
 class ConvTranspose1dTorch(nn.Module):
     """ConvTranspose1d(out, k, stride, padding=(k-stride)//2 by default)."""
 
@@ -63,9 +98,17 @@ class ConvTranspose1dTorch(nn.Module):
             nn.initializers.lecun_normal(),
             (self.kernel_size, x.shape[-1], self.out_channels),
         ).astype(self.dtype)
-        y = conv_transpose_torch(
-            x.astype(self.dtype), k, (self.stride,), (self.padding,), (self.output_padding,)
-        )
+        if (
+            self.output_padding == 0
+            and 2 * self.padding == self.kernel_size - self.stride
+            and self.stride > 1
+        ):
+            # exact-s× upsampling (HiFiGAN geometry) → frame-matmul path
+            y = conv_transpose_1d_frames(x.astype(self.dtype), k, self.stride, self.padding)
+        else:
+            y = conv_transpose_torch(
+                x.astype(self.dtype), k, (self.stride,), (self.padding,), (self.output_padding,)
+            )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             y = y + b.astype(self.dtype)

@@ -191,3 +191,20 @@ def test_onnx_reader_rejects_garbage(tmp_path):
     p.write_bytes(b"\x08\x05")  # valid protobuf, no graph
     with pytest.raises(ValueError):
         read_onnx_initializers(p)
+
+
+@pytest.mark.parametrize("k,s,cin,cout", [(16, 10, 6, 4), (24, 12, 4, 2), (4, 2, 3, 5), (20, 10, 2, 2)])
+def test_conv_transpose_frames_matches_torch(k, s, cin, cout):
+    from obs_rvc_tpu.models.layers import conv_transpose_1d_frames
+
+    p_ = (k - s) // 2
+    conv = torch.nn.ConvTranspose1d(cin, cout, k, stride=s, padding=p_, bias=False)
+    x = torch.randn(2, cin, 13)
+    want = conv(x).detach().numpy()
+
+    cp = W.conv_transpose1d({"c.weight": conv.weight}, "c", bias=False)
+    got = conv_transpose_1d_frames(
+        jnp.asarray(x.numpy().transpose(0, 2, 1)), jnp.asarray(cp["kernel"]), s, p_
+    )
+    assert got.shape == (2, 13 * s, cout)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want, atol=1e-4)
