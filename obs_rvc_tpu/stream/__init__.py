@@ -13,6 +13,7 @@ from obs_rvc_tpu.stream.state import StreamState
 from obs_rvc_tpu.stream.pipeline import RvcPipeline, StepControls
 from obs_rvc_tpu.stream.engine import RvcEngine, EngineError
 from obs_rvc_tpu.stream.scheduler import StreamSession
+from obs_rvc_tpu.stream.pool import StreamPool
 
 __all__ = [
     "StreamState",
@@ -21,4 +22,5 @@ __all__ = [
     "RvcEngine",
     "EngineError",
     "StreamSession",
+    "StreamPool",
 ]

@@ -1,0 +1,159 @@
+"""Batched multi-stream serving pool.
+
+One :class:`StreamPool` drives ``capacity`` concurrent voice streams through
+a single vmapped (DP) step per tick — the single-host unit of BASELINE's
+"64 concurrent voices data-parallel" config. Each slot has its own ring
+buffers, controls, and streaming state; the worker steps *all* slots
+together (fixed shapes — detached slots process silence and their output is
+dropped), so per-chunk cost amortizes the per-dispatch overhead across
+streams (see BENCHMARKS.md: 32 streams cost ~7.5× one stream, not 32×).
+
+Slots attach/detach dynamically: attach clears the slot's state (the
+reference's ``clear_state`` semantics per filter instance).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from obs_rvc_tpu.serve.metrics import ChunkMetrics
+from obs_rvc_tpu.stream.pipeline import RvcPipeline, StepControls
+from obs_rvc_tpu.stream.ringbuf import make_ring_buffer
+from obs_rvc_tpu.stream.state import StreamState
+
+
+class StreamPool:
+    def __init__(
+        self,
+        pipeline: RvcPipeline,
+        params: dict,
+        capacity: int = 8,
+        input_capacity_chunks: int = 8,
+        output_capacity_chunks: int = 12,
+    ):
+        self.pipeline = pipeline
+        self.params = params
+        self.capacity = capacity
+        cfg = pipeline.cfg
+        self._chunk = cfg.sample_frame_size
+
+        self._in = [make_ring_buffer(self._chunk * input_capacity_chunks) for _ in range(capacity)]
+        self._out = [make_ring_buffer(self._chunk * output_capacity_chunks) for _ in range(capacity)]
+        self._active = [False] * capacity
+        self._controls = [StepControls.default() for _ in range(capacity)]
+        self._states = StreamState.init_batch(cfg, capacity)
+        self.metrics = ChunkMetrics(chunk_seconds=cfg.latency_seconds)
+
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._running = False
+        self._thread: Optional[threading.Thread] = None
+
+    # --- slot management ---
+
+    def attach(self, controls: Optional[StepControls] = None) -> int:
+        """Claim a free slot → slot id; raises when full."""
+        with self._lock:
+            for i in range(self.capacity):
+                if not self._active[i]:
+                    self._active[i] = True
+                    self._controls[i] = controls or StepControls.default()
+                    self._clear_slot(i)
+                    return i
+        raise RuntimeError("pool full")
+
+    def detach(self, slot: int) -> None:
+        with self._lock:
+            self._active[slot] = False
+            self._clear_slot(slot)
+
+    def _clear_slot(self, i: int) -> None:
+        fresh = StreamState.init(self.pipeline.cfg)
+        self._states = jax.tree.map(
+            lambda batch, single: jnp.asarray(batch).at[i].set(jnp.asarray(single)),
+            self._states,
+            fresh,
+        )
+        while self._in[i].pop(self._chunk).size:
+            pass
+        while self._out[i].pop(self._chunk).size:
+            pass
+
+    def update_controls(self, slot: int, **kwargs) -> None:
+        updates = {
+            k: jnp.asarray(v, dtype=getattr(self._controls[slot], k).dtype)
+            for k, v in kwargs.items()
+        }
+        self._controls[slot] = self._controls[slot].replace(**updates)
+
+    # --- audio sides ---
+
+    def push_audio(self, slot: int, frame: np.ndarray) -> int:
+        frame = np.asarray(frame, np.float32).ravel()
+        written = self._in[slot].push(frame)
+        dropped = frame.size - written
+        if dropped:
+            self.metrics.record_dropped(dropped)
+        self._wake.set()
+        return dropped
+
+    def pull_audio(self, slot: int, n: int) -> np.ndarray:
+        return self._out[slot].pop(n)
+
+    # --- batched worker ---
+
+    def process_pending(self) -> int:
+        """One batched step when at least one active slot has a full chunk;
+        slots without input contribute silence (their output is dropped and
+        their state keeps sliding — a stream that stalls behaves like a
+        stream of silence, matching the reference's zero-filled buffers)."""
+        chunks = np.zeros((self.capacity, self._chunk), np.float32)
+        have = np.zeros(self.capacity, bool)
+        for i in range(self.capacity):
+            if not self._active[i]:
+                continue
+            c = self._in[i].pop_exact(self._chunk)
+            if c is not None:
+                chunks[i] = c
+                have[i] = True
+        if not have.any():
+            return 0
+
+        controls = jax.tree.map(lambda *xs: jnp.stack(xs), *self._controls)
+        with self.metrics.time_chunk():
+            try:
+                self._states, out = self.pipeline.staged_step(
+                    self.params, self._states, jnp.asarray(chunks), controls, batched=True
+                )
+                out = np.asarray(jax.block_until_ready(out))
+            except Exception:
+                out = np.zeros((self.capacity, self._chunk), np.float32)
+                self._states = StreamState.init_batch(self.pipeline.cfg, self.capacity)
+        for i in range(self.capacity):
+            if have[i]:
+                self._out[i].push(out[i])
+        return int(have.sum())
+
+    def _loop(self) -> None:
+        while self._running:
+            if self.process_pending() == 0:
+                self._wake.wait(timeout=1.0)
+                self._wake.clear()
+
+    def start(self) -> None:
+        if self._thread is None:
+            self._running = True
+            self._thread = threading.Thread(target=self._loop, daemon=True, name="rvc-pool")
+            self._thread.start()
+
+    def stop(self) -> None:
+        if self._thread is not None:
+            self._running = False
+            self._wake.set()
+            self._thread.join()
+            self._thread = None

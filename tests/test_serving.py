@@ -273,3 +273,60 @@ def test_stream_server_duplex_tone():
     assert abs(peak_hz - f) < 6.0
     # control update landed
     assert float(session.controls.pitch_shift) == 3.0
+
+
+# ---------- multi-stream pool ----------
+
+def test_stream_pool_multi_voice():
+    import jax.numpy as jnp
+
+    from obs_rvc_tpu.stream import StreamPool, StepControls
+
+    cfg = small_cfg(skip_inference=True)
+    pipe = RvcPipeline(cfg)
+    pool = StreamPool(pipe, params={}, capacity=3)
+
+    s0 = pool.attach(StepControls.default())
+    s1 = pool.attach(StepControls.default())
+    assert {s0, s1} == {0, 1}
+
+    sr = 48000
+    n = 6 * cfg.sample_frame_size
+    t = np.arange(n) / sr
+    wav0 = np.sin(2 * np.pi * 330.0 * t).astype(np.float32)
+    wav1 = np.sin(2 * np.pi * 550.0 * t).astype(np.float32)
+
+    for i in range(0, n, cfg.sample_frame_size):
+        pool.push_audio(s0, wav0[i : i + cfg.sample_frame_size])
+        pool.push_audio(s1, wav1[i : i + cfg.sample_frame_size])
+        pool.process_pending()
+
+    out0 = pool.pull_audio(s0, n)
+    out1 = pool.pull_audio(s1, n)
+    assert out0.size >= 4 * cfg.sample_frame_size
+    assert out1.size >= 4 * cfg.sample_frame_size
+
+    def peak(x):
+        tail = x[2 * cfg.sample_frame_size :]
+        spec = np.abs(np.fft.rfft(tail * np.hanning(tail.size)))
+        return np.argmax(spec) * sr / tail.size
+
+    # each stream keeps its own tone — no cross-slot bleed
+    assert abs(peak(out0) - 330.0) < 6.0
+    assert abs(peak(out1) - 550.0) < 6.0
+
+    # detach + reattach clears the slot
+    pool.detach(s0)
+    s2 = pool.attach()
+    assert s2 == s0
+    assert pool.pull_audio(s2, 100).size == 0
+
+
+def test_stream_pool_full():
+    from obs_rvc_tpu.stream import StreamPool
+
+    cfg = small_cfg(skip_inference=True)
+    pool = StreamPool(RvcPipeline(cfg), params={}, capacity=1)
+    pool.attach()
+    with pytest.raises(RuntimeError):
+        pool.attach()
