@@ -88,11 +88,13 @@ class StreamSession:
             chunk = self._in.pop_exact(self._chunk)
             if chunk is None:
                 break
-            step = (
-                self.pipeline.staged_step if self.mode == "staged" else self.pipeline.jit_step
-            )
             with self.metrics.time_chunk():
                 try:
+                    step = (
+                        self.pipeline.staged_step
+                        if self.mode == "staged"
+                        else self.pipeline.jit_step
+                    )
                     self.state, out = step(self.params, self.state, chunk, self.controls)
                     out = np.asarray(jax.block_until_ready(out))
                 except Exception:
