@@ -139,34 +139,45 @@ class BiGRU(nn.Module):
         H = self.hidden
         x = x.astype(self.dtype)
         for layer in range(self.num_layers):
-            outs = []
+            in_dim = x.shape[-1]
+            ws = {}
             for direction in (0, 1):
-                in_dim = x.shape[-1]
-                w_ih = self.param(f"l{layer}_d{direction}_w_ih", nn.initializers.lecun_normal(), (3 * H, in_dim)).astype(self.dtype)
-                w_hh = self.param(f"l{layer}_d{direction}_w_hh", nn.initializers.orthogonal(), (3 * H, H)).astype(self.dtype)
-                b_ih = self.param(f"l{layer}_d{direction}_b_ih", nn.initializers.zeros, (3 * H,)).astype(self.dtype)
-                b_hh = self.param(f"l{layer}_d{direction}_b_hh", nn.initializers.zeros, (3 * H,)).astype(self.dtype)
+                ws[direction] = tuple(
+                    self.param(f"l{layer}_d{direction}_{nm}", init, shape).astype(self.dtype)
+                    for nm, init, shape in (
+                        ("w_ih", nn.initializers.lecun_normal(), (3 * H, in_dim)),
+                        ("w_hh", nn.initializers.orthogonal(), (3 * H, H)),
+                        ("b_ih", nn.initializers.zeros, (3 * H,)),
+                        ("b_hh", nn.initializers.zeros, (3 * H,)),
+                    )
+                )
 
-                seq = x if direction == 0 else x[:, ::-1, :]
+            # hoist the input projections out of the recurrence (one [T,in]
+            # matmul per direction instead of T small ones) and run both
+            # directions in one scan (stacked on a direction axis) — ~4x
+            # fewer sequential matmul launches than the naive form
+            gi_f = x @ ws[0][0].T + ws[0][2]                 # [B, T, 3H]
+            gi_b = x[:, ::-1, :] @ ws[1][0].T + ws[1][2]
+            gi = jnp.stack([gi_f, gi_b], axis=0)             # [2, B, T, 3H]
+            w_hh = jnp.stack([ws[0][1], ws[1][1]], axis=0)   # [2, 3H, H]
+            b_hh = jnp.stack([ws[0][3], ws[1][3]], axis=0)   # [2, 3H]
 
-                def step(h, xt, w_ih=w_ih, w_hh=w_hh, b_ih=b_ih, b_hh=b_hh):
-                    gi = xt @ w_ih.T + b_ih
-                    gh = h @ w_hh.T + b_hh
-                    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
-                    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
-                    r = jax.nn.sigmoid(i_r + h_r)
-                    z = jax.nn.sigmoid(i_z + h_z)
-                    n = jnp.tanh(i_n + r * h_n)
-                    h_new = (1.0 - z) * n + z * h
-                    return h_new, h_new
+            def step(h, gi_t):
+                # h: [2, B, H]; gi_t: [2, B, 3H]
+                gh = jnp.einsum("dbh,dgh->dbg", h, w_hh) + b_hh[:, None, :]
+                i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
+                h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+                r = jax.nn.sigmoid(i_r + h_r)
+                z = jax.nn.sigmoid(i_z + h_z)
+                n = jnp.tanh(i_n + r * h_n)
+                h_new = (1.0 - z) * n + z * h
+                return h_new, h_new
 
-                h0 = jnp.zeros((x.shape[0], H), dtype=self.dtype)
-                _, ys = jax.lax.scan(step, h0, jnp.swapaxes(seq, 0, 1))
-                ys = jnp.swapaxes(ys, 0, 1)
-                if direction == 1:
-                    ys = ys[:, ::-1, :]
-                outs.append(ys)
-            x = jnp.concatenate(outs, axis=-1)
+            h0 = jnp.zeros((2, x.shape[0], H), dtype=self.dtype)
+            _, ys = jax.lax.scan(step, h0, jnp.moveaxis(gi, 2, 0))  # [T, 2, B, H]
+            fwd = jnp.swapaxes(ys[:, 0], 0, 1)            # [B, T, H]
+            bwd = jnp.swapaxes(ys[:, 1], 0, 1)[:, ::-1, :]  # un-reverse
+            x = jnp.concatenate([fwd, bwd], axis=-1)
         return x
 
 
