@@ -1,0 +1,132 @@
+"""Coverage for remaining surfaces: CLI with retrieval, phase-vocoder
+pipeline path, RPC stdio loop, global mesh helper, pool failure path."""
+
+import io
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from obs_rvc_tpu.config import ChunkConfig
+from obs_rvc_tpu.stream import RvcPipeline, StepControls, StreamState
+
+
+def small_cfg(**kw):
+    return ChunkConfig.build(
+        sample_rate=48000, sample_length=0.10, extra_inference_time=0.50, **kw
+    )
+
+
+def test_cli_with_index_and_metrics(tmp_path, capsys):
+    from obs_rvc_tpu.serve.cli import main
+    from obs_rvc_tpu.utils import read_wav, write_wav
+
+    sr = 48000
+    wav = (0.4 * np.sin(2 * np.pi * 220.0 * np.arange(sr) / sr)).astype(np.float32)
+    write_wav(tmp_path / "in.wav", np.stack([wav, wav]), sr)  # stereo in
+
+    # an .npy feature table as the index artifact
+    table = np.random.default_rng(0).standard_normal((64, 768)).astype(np.float32)
+    np.save(tmp_path / "voice.npy", table)
+
+    main(
+        [
+            str(tmp_path / "in.wav"),
+            str(tmp_path / "out.wav"),
+            "--skip-inference",  # keep CPU cost small; index load still exercised
+            "--index", str(tmp_path / "voice.npy"),
+            "--index-rate", "0.5",
+            "--sample-length", "0.10",
+            "--extra-inference-time", "0.50",
+            "--metrics-json",
+        ]
+    )
+    out, out_sr = read_wav(tmp_path / "out.wav")
+    assert out.shape[0] == 2 and out_sr == sr
+    assert "rtf" in capsys.readouterr().err
+
+
+def test_phase_vocoder_pipeline_tone():
+    cfg = small_cfg(skip_inference=True)
+    pipe = RvcPipeline(cfg, phase_vocoder=True)
+    controls = StepControls.default()
+    sr, f = 48000, 440.0
+    n_chunks = 8
+    wav = np.sin(2 * np.pi * f * np.arange(n_chunks * cfg.sample_frame_size) / sr).astype(
+        np.float32
+    )
+    state = StreamState.init(cfg)
+    outs = []
+    for i in range(n_chunks):
+        chunk = jnp.asarray(wav[i * cfg.sample_frame_size : (i + 1) * cfg.sample_frame_size])
+        state, out = pipe.jit_step({}, state, chunk, controls)
+        outs.append(np.asarray(out))
+    tail = np.concatenate(outs)[3 * cfg.sample_frame_size :]
+    spec = np.abs(np.fft.rfft(tail * np.hanning(tail.size)))
+    peak_hz = np.argmax(spec) * sr / tail.size
+    assert abs(peak_hz - f) < 5.0
+    rms = np.sqrt(np.mean(tail**2))
+    assert abs(rms - 1 / np.sqrt(2)) < 0.06
+
+
+def test_rpc_stdio_loop():
+    """serve_stream over in-memory pipes with a live (tiny) engine."""
+    import struct
+
+    from obs_rvc_tpu.models import ContentVecConfig, RMVPEConfig, SynthesizerConfig
+    from obs_rvc_tpu.config import RvcModelVersion
+    from obs_rvc_tpu.serve.rpc import serve_stream
+    from obs_rvc_tpu.stream import RvcEngine
+
+    cfg = small_cfg()
+    pipe = RvcPipeline(
+        cfg,
+        RvcModelVersion.V2,
+        contentvec_cfg=ContentVecConfig(
+            dim=64, num_layers=2, tap_layer=2, num_heads=4, ffn_dim=128, out_dim=64
+        ),
+        rmvpe_cfg=RMVPEConfig(n_blocks=1, inter_layers=1, en_out_channels=2, gru_hidden=16),
+        synth_cfg=SynthesizerConfig.for_sample_rate(40000, feature_dim=64),
+    )
+    engine = RvcEngine(pipe, pipe.init_params_fast(0))
+
+    samples = np.zeros(cfg.input_buffer_16k_size, dtype="<f4")
+    req = io.BytesIO()
+    req.write(struct.pack("<I", samples.size))
+    req.write(samples.tobytes())
+    req.write(struct.pack("<IiII", cfg.sample_frame_16k_size, 0, cfg.skip_head, cfg.return_length))
+    req.seek(0)
+    resp = io.BytesIO()
+    serve_stream(engine, req, resp)
+    resp.seek(0)
+    (n,) = struct.unpack("<I", resp.read(4))
+    assert n == cfg.model_return_size
+
+
+def test_global_mesh_helper():
+    from obs_rvc_tpu.parallel import distributed
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = distributed.global_mesh(n_model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    assert distributed.local_stream_slots(mesh) >= 1
+
+
+def test_pool_failure_resets_all_slots():
+    from obs_rvc_tpu.stream import StreamPool
+
+    cfg = small_cfg(skip_inference=True)
+    pipe = RvcPipeline(cfg)
+    pool = StreamPool(pipe, params={}, capacity=2)
+    s0 = pool.attach()
+
+    def boom(*a, **k):
+        raise RuntimeError("injected")
+
+    pool.pipeline = type("P", (), {"cfg": cfg, "staged_step": staticmethod(boom)})()
+    pool.push_audio(s0, np.ones(cfg.sample_frame_size, np.float32))
+    assert pool.process_pending() == 1
+    out = pool.pull_audio(s0, cfg.sample_frame_size)
+    np.testing.assert_array_equal(out, 0.0)
