@@ -116,20 +116,57 @@ class StreamClient:
             pass
 
 
-def serve_tcp(make_session, host: str, port: int) -> None:
-    """Accept loop; ``make_session()`` builds a fresh StreamSession per
-    connection (streams are independent — DP across connections comes from
-    batching sessions onto the chip in future rounds)."""
+class _PoolSlotAdapter:
+    """Presents one StreamPool slot with the StreamSession interface the
+    connection loop uses (push/pull/update/start/stop)."""
+
+    def __init__(self, pool, slot: int):
+        self._pool = pool
+        self._slot = slot
+
+    def start(self) -> None:
+        pass  # pool worker runs globally
+
+    def stop(self) -> None:
+        self._pool.detach(self._slot)
+
+    def push_audio(self, frame: np.ndarray) -> int:
+        return self._pool.push_audio(self._slot, frame)
+
+    def pull_audio(self, n: int) -> np.ndarray:
+        return self._pool.pull_audio(self._slot, n)
+
+    def update_controls(self, **kw) -> None:
+        self._pool.update_controls(self._slot, **kw)
+
+
+def serve_tcp(make_session, host: str, port: int, pool=None) -> None:
+    """Accept loop. With ``pool`` (a started StreamPool), every connection
+    claims a pool slot and all voices batch through one vmapped step per
+    tick (DP on-chip); otherwise ``make_session()`` builds an independent
+    StreamSession per connection. Connections are served on threads either
+    way."""
+    import threading
+
+    def handle(conn, addr):
+        print(f"stream client {addr}", file=sys.stderr)
+        with conn, conn.makefile("rb") as rin, conn.makefile("wb") as rout:
+            try:
+                if pool is not None:
+                    session = _PoolSlotAdapter(pool, pool.attach())
+                else:
+                    session = make_session()
+                serve_connection(session, rin, rout)
+            except (EOFError, ConnectionError):
+                pass
+            except RuntimeError as e:  # pool full
+                print(f"rejecting {addr}: {e}", file=sys.stderr)
+
     with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as srv:
         srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         srv.bind((host, port))
-        srv.listen(4)
+        srv.listen(16)
         print(f"stream server on {host}:{port}", file=sys.stderr)
         while True:
             conn, addr = srv.accept()
-            print(f"stream client {addr}", file=sys.stderr)
-            with conn, conn.makefile("rb") as rin, conn.makefile("wb") as rout:
-                try:
-                    serve_connection(make_session(), rin, rout)
-                except (EOFError, ConnectionError):
-                    pass
+            threading.Thread(target=handle, args=(conn, addr), daemon=True).start()

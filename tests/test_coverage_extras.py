@@ -130,3 +130,81 @@ def test_pool_failure_resets_all_slots():
     assert pool.process_pending() == 1
     out = pool.pull_audio(s0, cfg.sample_frame_size)
     np.testing.assert_array_equal(out, 0.0)
+
+
+def test_stream_server_on_pool():
+    """Two duplex connections batched through one StreamPool."""
+    import socket as socket_mod
+    import threading
+    import time as time_mod
+
+    from obs_rvc_tpu.serve.stream_server import StreamClient, _PoolSlotAdapter, serve_connection
+    from obs_rvc_tpu.stream import StreamPool
+
+    cfg = small_cfg(skip_inference=True)
+    pipe = RvcPipeline(cfg)
+    # warm the batched staged step
+    pool = StreamPool(pipe, params={}, capacity=2)
+    pool.start()
+
+    clients = []
+    for _ in range(2):
+        ssock, csock = socket_mod.socketpair()
+        adapter = _PoolSlotAdapter(pool, pool.attach())
+        threading.Thread(
+            target=serve_connection,
+            args=(adapter, ssock.makefile("rb"), ssock.makefile("wb")),
+            daemon=True,
+        ).start()
+        clients.append(StreamClient(csock.makefile("rb"), csock.makefile("wb")))
+
+    sr = 48000
+    n = 6 * cfg.sample_frame_size
+    t = np.arange(n) / sr
+    wavs = [np.sin(2 * np.pi * f * t).astype(np.float32) for f in (330.0, 550.0)]
+
+    outs = [[], []]
+    frame = cfg.sample_frame_size
+    for i in range(0, n, frame):
+        for c, client in enumerate(clients):
+            outs[c].append(client.send_audio(wavs[c][i : i + frame]))
+        time_mod.sleep(0.005)
+    deadline = time_mod.time() + 60
+    while (
+        min(sum(o.size for o in outs[c]) for c in range(2)) < 4 * cfg.sample_frame_size
+        and time_mod.time() < deadline
+    ):
+        for c, client in enumerate(clients):
+            outs[c].append(client.send_audio(np.zeros(frame, np.float32)))
+        time_mod.sleep(0.01)
+    for client in clients:
+        client.close()
+    pool.stop()
+
+    for c, f in ((0, 330.0), (1, 550.0)):
+        got = np.concatenate(outs[c])
+        tail = got[2 * cfg.sample_frame_size : 4 * cfg.sample_frame_size]
+        spec = np.abs(np.fft.rfft(tail * np.hanning(tail.size)))
+        peak_hz = np.argmax(spec) * sr / tail.size
+        assert abs(peak_hz - f) < 8.0, (c, peak_hz)
+
+
+def test_health_endpoint():
+    import urllib.request
+
+    from obs_rvc_tpu.serve.health import start_health_server
+    from obs_rvc_tpu.serve.metrics import ChunkMetrics
+
+    m = ChunkMetrics(chunk_seconds=0.3)
+    m.record(12.0)
+    server, port = start_health_server(m)
+    try:
+        ok = urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz").read()
+        assert ok == b"ok"
+        import json as _json
+
+        snap = _json.loads(urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics").read())
+        assert snap["chunks"] == 1
+        assert snap["p50_ms"] == 12.0
+    finally:
+        server.shutdown()
