@@ -42,13 +42,32 @@ def sola_offset(
     n_offsets = search_frame_size + 1
     conv_input = output_wav[: buffer_frame_size + search_frame_size]
 
-    # circular cross-correlation is exact for lags < N - len(conv_input)
-    n_fft = 1
-    while n_fft < buffer_frame_size + search_frame_size + n_offsets:
-        n_fft <<= 1
-    fx = jnp.fft.rfft(conv_input, n_fft)
-    fs = jnp.fft.rfft(sola_buffer, n_fft)
-    cor_nom = jnp.fft.irfft(fx * jnp.conj(fs), n_fft)[:n_offsets].astype(jnp.float32)
+    block = 160
+    if buffer_frame_size % block == 0:
+        # fold the long kernel into channels:
+        #   cor[k] = Σ_a Σ_b x[k + block·a + b] · s[block·a + b]
+        # → a VALID conv with A=buffer/block input channels and a block-tap
+        # kernel. Same MACs, hardware-friendly shapes (µs on the MXU).
+        A = buffer_frame_size // block
+        xs = jnp.stack(
+            [conv_input[block * a : block * a + n_offsets - 1 + block] for a in range(A)]
+        )  # [A, search + block]
+        ker = sola_buffer.reshape(A, block)
+        cor_nom = jax.lax.conv_general_dilated(
+            xs[None],                      # [1, A, search+block]
+            ker[None],                     # [out=1, in=A, block]
+            window_strides=(1,),
+            padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )[0, 0]  # [n_offsets]
+    else:
+        # FFT fallback: circular cross-correlation, exact for these lags
+        n_fft = 1
+        while n_fft < buffer_frame_size + search_frame_size + n_offsets:
+            n_fft <<= 1
+        fx = jnp.fft.rfft(conv_input, n_fft)
+        fs = jnp.fft.rfft(sola_buffer, n_fft)
+        cor_nom = jnp.fft.irfft(fx * jnp.conj(fs), n_fft)[:n_offsets].astype(jnp.float32)
 
     csum = jnp.cumsum(jnp.concatenate([jnp.zeros((1,)), conv_input * conv_input]))
     energy = csum[buffer_frame_size:] - csum[:n_offsets]
