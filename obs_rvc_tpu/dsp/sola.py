@@ -130,7 +130,9 @@ def sola_crossfade(
         head = phase_vocoder_blend(sola_buffer, aligned[:buffer_size], fade_out, fade_in)
     else:
         head = aligned[:buffer_size] * fade_in + sola_buffer * fade_out
-    aligned = aligned.at[:buffer_size].set(head)
+    # concat instead of .at[:].set — measurably cheaper downstream of a
+    # dynamic slice on TPU
+    aligned = jnp.concatenate([head, aligned[buffer_size:]])
 
     emitted = aligned[:sample_frame_size]
     next_sola = aligned[sample_frame_size : sample_frame_size + buffer_size]
