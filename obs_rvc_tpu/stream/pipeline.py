@@ -344,7 +344,7 @@ class RvcPipeline:
     # staged execution (per-stage jits)
     # ------------------------------------------------------------------
     #
-    # Semantically identical to ``step`` but compiled as five small XLA
+    # Semantically identical to ``step`` but compiled as seven small XLA
     # programs instead of one monolith. Per-dispatch overhead on-chip is
     # <0.5 ms, so the runtime cost is a few ms at most, while compile time
     # drops ~13× (observed: ~35 s total vs ~8 min fused — and the remote
@@ -456,7 +456,7 @@ class RvcPipeline:
         batched: bool = False,
     ) -> tuple[StreamState, jnp.ndarray]:
         """Same contract as :meth:`step` (or the vmapped batch step when
-        ``batched``), host-orchestrated across the five stage executables."""
+        ``batched``), host-orchestrated across the seven stage executables."""
         cfg = self.cfg
         j = self._staged_jits_batch if batched else self._staged_jits
         buf, buf16 = j["pre"](state.input_buffer_16k, state.input_buffer, chunk)
