@@ -9,17 +9,27 @@ line: p50 chunk latency in ms against the 80 ms BASELINE target
 Real-time budget context: the reference must finish a chunk in < 300 ms
 (sample_length) to keep up (obs-rvc/src/lib.rs:179,830); BASELINE.md sets
 <80 ms p50 on one chip.
+
+Supervision: the axon remote-compile service occasionally hangs a compile
+request indefinitely (docs/DEVELOPMENT.md). By default the measurement runs
+in a supervised child process with a deadline and up to 3 attempts — a hung
+attempt is killed and retried fresh, which in practice succeeds. Use
+``--no-supervise`` to run inline.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import signal
 import statistics
+import subprocess
+import sys
 import time
 
 
-def main() -> None:
+def _build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
@@ -35,7 +45,43 @@ def main() -> None:
     parser.add_argument(
         "--profile", metavar="DIR", help="capture a jax.profiler trace of the measured steps"
     )
-    args = parser.parse_args()
+    parser.add_argument("--no-supervise", action="store_true", help="run inline (no retry child)")
+    parser.add_argument("--attempt-seconds", type=int, default=480)
+    parser.add_argument("--attempts", type=int, default=3)
+    return parser
+
+
+def supervise(argv) -> int:
+    """Run the measurement in a child; kill + retry on deadline."""
+    args = _build_parser().parse_args(argv)
+    child_argv = [sys.executable, "-u", os.path.abspath(__file__), "--no-supervise"] + list(argv)
+    for attempt in range(args.attempts):
+        proc = subprocess.Popen(child_argv, stdout=subprocess.PIPE, stderr=sys.stderr,
+                                start_new_session=True)
+        try:
+            out, _ = proc.communicate(timeout=args.attempt_seconds)
+            text = out.decode()
+            if proc.returncode == 0 and '"metric"' in text:
+                line = [l for l in text.splitlines() if '"metric"' in l][-1]
+                print(line)
+                return 0
+            print(f"attempt {attempt + 1} failed (rc={proc.returncode})", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"attempt {attempt + 1} exceeded {args.attempt_seconds}s "
+                  "(remote-compile hang) — killing and retrying", file=sys.stderr)
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            proc.wait()
+    print(json.dumps({"metric": "chunk_p50_ms", "value": -1.0, "unit": "ms",
+                      "vs_baseline": 0.0,
+                      "extra": {"error": "all bench attempts hit remote-compile hangs"}}))
+    return 1
+
+
+def main() -> None:
+    args = _build_parser().parse_args()
 
     import jax
     import jax.numpy as jnp
@@ -143,4 +189,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--no-supervise" in sys.argv:
+        main()
+    else:
+        sys.exit(supervise(sys.argv[1:]))
