@@ -382,6 +382,204 @@ def convert_synthesizer(
 
 
 # ---------------------------------------------------------------------------
+# export (inverse transforms) — params → torch-layout state dicts
+# ---------------------------------------------------------------------------
+#
+# Produces plain (weight-norm-folded) torch-named tensors, so the exported
+# dict loads back through the converters above bit-for-bit, can be written
+# into an ONNX weights container (onnx_reader.write_onnx_weights), or be
+# consumed by torch RVC tooling.
+
+
+def _exp_linear(out, prefix, p):
+    out[f"{prefix}.weight"] = np.asarray(p["kernel"]).T
+    if "bias" in p:
+        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def _exp_conv1x1(out, prefix, p):
+    out[f"{prefix}.weight"] = np.asarray(p["kernel"]).T[:, :, None]
+    if "bias" in p:
+        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def _exp_conv1d(out, prefix, p):
+    out[f"{prefix}.weight"] = np.transpose(np.asarray(p["kernel"]), (2, 1, 0))
+    if "bias" in p:
+        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def _exp_conv2d(out, prefix, p):
+    out[f"{prefix}.weight"] = np.transpose(np.asarray(p["kernel"]), (3, 2, 0, 1))
+    if "bias" in p:
+        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def _exp_conv_transpose1d(out, prefix, p):
+    k = np.asarray(p["kernel"])  # [k, in, out], spatially flipped
+    out[f"{prefix}.weight"] = np.transpose(k[::-1], (1, 2, 0)).copy()
+    if "bias" in p:
+        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def _exp_conv_transpose2d(out, prefix, p):
+    k = np.asarray(p["kernel"])  # [kh, kw, in, out], flipped
+    out[f"{prefix}.weight"] = np.transpose(k[::-1, ::-1], (2, 3, 0, 1)).copy()
+    if "bias" in p:
+        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def _exp_norm(out, prefix, p, vits=False):
+    a, b = ("gamma", "beta") if vits else ("weight", "bias")
+    out[f"{prefix}.{a}"] = np.asarray(p["scale"])
+    out[f"{prefix}.{b}"] = np.asarray(p["bias"])
+
+
+def _exp_bn(out, prefix, p, stats):
+    out[f"{prefix}.weight"] = np.asarray(p["scale"])
+    out[f"{prefix}.bias"] = np.asarray(p["bias"])
+    out[f"{prefix}.running_mean"] = np.asarray(stats["mean"])
+    out[f"{prefix}.running_var"] = np.asarray(stats["var"])
+
+
+def export_synthesizer(variables: Mapping[str, Any], config) -> dict[str, np.ndarray]:
+    """Synthesizer variables → torch-layout state dict (SynthesizerTrnMsNSFsid
+    naming; weight-norm folded)."""
+    p = variables["params"]
+    sd: dict[str, np.ndarray] = {}
+
+    enc = p["enc_p"]
+    _exp_linear(sd, "enc_p.emb_phone", enc["emb_phone"])
+    sd["enc_p.emb_pitch.weight"] = np.asarray(enc["emb_pitch"]["embedding"])
+    for i in range(config.n_layers):
+        a = enc[f"attn_{i}"]
+        for c in ("conv_q", "conv_k", "conv_v", "conv_o"):
+            _exp_conv1x1(sd, f"enc_p.encoder.attn_layers.{i}.{c}", a[c])
+        sd[f"enc_p.encoder.attn_layers.{i}.emb_rel_k"] = np.asarray(a["emb_rel_k"])
+        sd[f"enc_p.encoder.attn_layers.{i}.emb_rel_v"] = np.asarray(a["emb_rel_v"])
+        _exp_norm(sd, f"enc_p.encoder.norm_layers_1.{i}", enc[f"norm1_{i}"], vits=True)
+        _exp_conv1d(sd, f"enc_p.encoder.ffn_layers.{i}.conv_1", enc[f"ffn_{i}"]["conv_1"])
+        _exp_conv1d(sd, f"enc_p.encoder.ffn_layers.{i}.conv_2", enc[f"ffn_{i}"]["conv_2"])
+        _exp_norm(sd, f"enc_p.encoder.norm_layers_2.{i}", enc[f"norm2_{i}"], vits=True)
+    _exp_conv1x1(sd, "enc_p.proj", enc["proj"])
+
+    for fi in range(config.flow_flows):
+        fl = p["flow"][f"flow_{fi}"]
+        f = f"flow.flows.{2 * fi}"
+        _exp_conv1x1(sd, f"{f}.pre", fl["pre"])
+        _exp_conv1x1(sd, f"{f}.post", fl["post"])
+        _exp_conv1x1(sd, f"{f}.enc.cond_layer", fl["enc"]["cond_layer"])
+        for j in range(config.flow_layers):
+            _exp_conv1d(sd, f"{f}.enc.in_layers.{j}", fl["enc"][f"in_{j}"])
+            _exp_conv1d(sd, f"{f}.enc.res_skip_layers.{j}", fl["enc"][f"res_skip_{j}"])
+
+    dec = p["dec"]
+    _exp_conv1d(sd, "dec.conv_pre", dec["conv_pre"])
+    _exp_conv1x1(sd, "dec.cond", dec["cond"])
+    for i in range(len(config.upsample_rates)):
+        _exp_conv_transpose1d(sd, f"dec.ups.{i}", dec[f"ups_{i}"])
+        _exp_conv1d(sd, f"dec.noise_convs.{i}", dec[f"noise_conv_{i}"])
+        for j in range(len(config.resblock_kernel_sizes)):
+            rb = dec[f"resblock_{i}_{j}"]
+            r = f"dec.resblocks.{i * len(config.resblock_kernel_sizes) + j}"
+            for l in range(len(config.resblock_dilation_sizes[j])):
+                _exp_conv1d(sd, f"{r}.convs1.{l}", rb[f"conv1_{l}"])
+                _exp_conv1d(sd, f"{r}.convs2.{l}", rb[f"conv2_{l}"])
+    _exp_conv1d(sd, "dec.conv_post", dec["conv_post"])
+    _exp_linear(sd, "dec.m_source.l_linear", dec["source_linear"])
+    sd["emb_g.weight"] = np.asarray(p["emb_g"]["embedding"])
+    return sd
+
+
+def export_contentvec(variables: Mapping[str, Any], num_layers: int, num_heads: int,
+                      final_proj: bool = False) -> dict[str, np.ndarray]:
+    """ContentVec variables → fairseq-HuBERT-layout state dict."""
+    p = variables["params"]
+    sd: dict[str, np.ndarray] = {}
+    for i in range(7):
+        k = np.asarray(p["feature_extractor"][f"conv_{i}"]["kernel"])
+        sd[f"feature_extractor.conv_layers.{i}.0.weight"] = np.transpose(k, (2, 1, 0))
+    sd["feature_extractor.conv_layers.0.2.weight"] = np.asarray(
+        p["feature_extractor"]["group_norm"]["scale"]
+    )
+    sd["feature_extractor.conv_layers.0.2.bias"] = np.asarray(
+        p["feature_extractor"]["group_norm"]["bias"]
+    )
+    _exp_norm(sd, "layer_norm", p["post_extract_ln"])
+    _exp_linear(sd, "post_extract_proj", p["post_extract_proj"])
+    pc = p["pos_conv"]["pos_conv"]
+    sd["encoder.pos_conv.0.weight"] = np.transpose(np.asarray(pc["kernel"]), (2, 1, 0))
+    sd["encoder.pos_conv.0.bias"] = np.asarray(pc["bias"])
+    _exp_norm(sd, "encoder.layer_norm", p["encoder_ln"])
+    for i in range(num_layers):
+        lp = p[f"layer_{i}"]
+        a = lp["attn"]
+        E = a["out"]["bias"].shape[0]
+        for name, proj in (("q_proj", "query"), ("k_proj", "key"), ("v_proj", "value")):
+            sd[f"encoder.layers.{i}.self_attn.{name}.weight"] = (
+                np.asarray(a[proj]["kernel"]).reshape(E, E).T
+            )
+            sd[f"encoder.layers.{i}.self_attn.{name}.bias"] = np.asarray(
+                a[proj]["bias"]
+            ).reshape(E)
+        sd[f"encoder.layers.{i}.self_attn.out_proj.weight"] = (
+            np.asarray(a["out"]["kernel"]).reshape(E, E).T
+        )
+        sd[f"encoder.layers.{i}.self_attn.out_proj.bias"] = np.asarray(a["out"]["bias"])
+        _exp_norm(sd, f"encoder.layers.{i}.self_attn_layer_norm", lp["attn_ln"])
+        _exp_linear(sd, f"encoder.layers.{i}.fc1", lp["fc1"])
+        _exp_linear(sd, f"encoder.layers.{i}.fc2", lp["fc2"])
+        _exp_norm(sd, f"encoder.layers.{i}.final_layer_norm", lp["ffn_ln"])
+    if final_proj:
+        _exp_linear(sd, "final_proj", p["final_proj"])
+    return sd
+
+
+def export_rmvpe(variables: Mapping[str, Any], n_blocks: int = 4, en_de_layers: int = 5,
+                 inter_layers: int = 4) -> dict[str, np.ndarray]:
+    """RMVPE variables → E2E-layout state dict."""
+    p = variables["params"]
+    st = variables["batch_stats"]
+    sd: dict[str, np.ndarray] = {}
+
+    def exp_block(prefix, bp, bs):
+        _exp_conv2d(sd, f"{prefix}.conv.0", bp["conv1"])
+        _exp_bn(sd, f"{prefix}.conv.1", bp["bn1"], bs["bn1"])
+        _exp_conv2d(sd, f"{prefix}.conv.3", bp["conv2"])
+        _exp_bn(sd, f"{prefix}.conv.4", bp["bn2"], bs["bn2"])
+        if "shortcut" in bp:
+            _exp_conv2d(sd, f"{prefix}.shortcut", bp["shortcut"])
+
+    _exp_bn(sd, "unet.encoder.bn", p["unet"]["in_bn"], st["unet"]["in_bn"])
+    for i in range(en_de_layers):
+        for j in range(n_blocks):
+            exp_block(f"unet.encoder.layers.{i}.conv.{j}",
+                      p["unet"][f"encoder_{i}"][f"block_{j}"],
+                      st["unet"][f"encoder_{i}"][f"block_{j}"])
+    for i in range(inter_layers):
+        for j in range(n_blocks):
+            exp_block(f"unet.intermediate.layers.{i}.conv.{j}",
+                      p["unet"][f"intermediate_{i}"][f"block_{j}"],
+                      st["unet"][f"intermediate_{i}"][f"block_{j}"])
+    for i in range(en_de_layers):
+        dp = p["unet"][f"decoder_{i}"]
+        ds = st["unet"][f"decoder_{i}"]
+        _exp_conv_transpose2d(sd, f"unet.decoder.layers.{i}.conv1.0", dp["up"])
+        _exp_bn(sd, f"unet.decoder.layers.{i}.conv1.1", dp["bn"], ds["bn"])
+        for j in range(n_blocks):
+            exp_block(f"unet.decoder.layers.{i}.conv2.{j}", dp[f"block_{j}"], ds[f"block_{j}"])
+
+    _exp_conv2d(sd, "cnn", p["cnn"])
+    for d, s in ((0, ""), (1, "_reverse")):
+        sd[f"fc.0.gru.weight_ih_l0{s}"] = np.asarray(p["gru"][f"l0_d{d}_w_ih"])
+        sd[f"fc.0.gru.weight_hh_l0{s}"] = np.asarray(p["gru"][f"l0_d{d}_w_hh"])
+        sd[f"fc.0.gru.bias_ih_l0{s}"] = np.asarray(p["gru"][f"l0_d{d}_b_ih"])
+        sd[f"fc.0.gru.bias_hh_l0{s}"] = np.asarray(p["gru"][f"l0_d{d}_b_hh"])
+    _exp_linear(sd, "fc.1", p["fc"])
+    return sd
+
+
+# ---------------------------------------------------------------------------
 # validation
 # ---------------------------------------------------------------------------
 

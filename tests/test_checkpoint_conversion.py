@@ -315,3 +315,62 @@ def test_rvc_release_checkpoint_format(tmp_path):
         jnp.full((1, 4), 200.0), jnp.zeros((1,), jnp.int32),
     )
     W.assert_tree_shapes_match(conv, ref)
+
+
+# ---------------------------------------------------------------------------
+# export round-trips: params → torch-layout state dict → params (bit-exact)
+# ---------------------------------------------------------------------------
+
+
+def _leaves_equal(a, b):
+    la = jax.tree_util.tree_leaves_with_path(a)
+    bmap = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(b)}
+    assert len(la) == len(bmap)
+    for k, v in la:
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(bmap[jax.tree_util.keystr(k)]),
+                                      err_msg=jax.tree_util.keystr(k))
+
+
+def test_synthesizer_export_roundtrip(tmp_path):
+    cfg = SynthesizerConfig.for_sample_rate(40000)
+    model = Synthesizer(cfg)
+    var = model.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((1, 4, cfg.feature_dim)), jnp.ones((1, 4), jnp.int32),
+        jnp.full((1, 4), 200.0), jnp.zeros((1,), jnp.int32),
+    )
+    sd = W.export_synthesizer(var, cfg)
+    back = W.convert_synthesizer(sd, n_layers=cfg.n_layers, flow_flows=cfg.flow_flows,
+                                 flow_layers=cfg.flow_layers, n_ups=len(cfg.upsample_rates))
+    _leaves_equal(var, back)
+
+    # and through the ONNX weights container
+    from obs_rvc_tpu.models.onnx_reader import read_onnx_initializers, write_onnx_weights
+
+    write_onnx_weights(tmp_path / "m.onnx", sd)
+    back2 = W.convert_synthesizer(read_onnx_initializers(tmp_path / "m.onnx"),
+                                  n_layers=cfg.n_layers, flow_flows=cfg.flow_flows,
+                                  flow_layers=cfg.flow_layers, n_ups=len(cfg.upsample_rates))
+    _leaves_equal(var, back2)
+
+
+def test_contentvec_export_roundtrip():
+    cfg = ContentVecConfig.v1()
+    model = ContentVec(cfg)
+    var = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 3600)))
+    sd = W.export_contentvec(var, num_layers=cfg.num_layers, num_heads=cfg.num_heads,
+                             final_proj=cfg.final_proj)
+    back = W.convert_contentvec(sd, num_layers=cfg.num_layers, num_heads=cfg.num_heads,
+                                final_proj=cfg.final_proj)
+    _leaves_equal(var, back)
+
+
+def test_rmvpe_export_roundtrip():
+    cfg = RMVPEConfig()
+    model = RMVPE(cfg)
+    var = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 128, 32)))
+    sd = W.export_rmvpe(var, n_blocks=cfg.n_blocks, en_de_layers=cfg.en_de_layers,
+                        inter_layers=cfg.inter_layers)
+    back = W.convert_rmvpe(sd, n_blocks=cfg.n_blocks, en_de_layers=cfg.en_de_layers,
+                           inter_layers=cfg.inter_layers)
+    _leaves_equal(var, back)
