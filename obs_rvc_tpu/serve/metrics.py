@@ -26,6 +26,7 @@ class MetricsSnapshot:
     audio_seconds_per_second: float
     underruns: int
     dropped_input_samples: int
+    errors: int = 0
 
     def as_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -38,6 +39,7 @@ class ChunkMetrics:
         self.total_chunks = 0
         self.underruns = 0
         self.dropped_input_samples = 0
+        self.errors = 0
 
     def time_chunk(self):
         """Context manager timing one chunk step."""
@@ -64,10 +66,18 @@ class ChunkMetrics:
     def record_dropped(self, samples: int) -> None:
         self.dropped_input_samples += samples
 
+    def record_error(self) -> None:
+        """A chunk step raised (engine failure → silence-fill recovery); the
+        reference logs the error before zero-filling (lib.rs:716-727)."""
+        self.errors += 1
+
     def snapshot(self) -> MetricsSnapshot:
         ts = sorted(self._times_ms)
         if not ts:
-            return MetricsSnapshot(0, 0.0, 0.0, 0.0, 0.0, 0.0, self.underruns, self.dropped_input_samples)
+            return MetricsSnapshot(
+                0, 0.0, 0.0, 0.0, 0.0, 0.0, self.underruns,
+                self.dropped_input_samples, self.errors,
+            )
         p50 = statistics.median(ts)
         p95 = ts[max(0, int(len(ts) * 0.95) - 1)]
         mean = sum(ts) / len(ts)
@@ -81,4 +91,5 @@ class ChunkMetrics:
             audio_seconds_per_second=round(self.chunk_seconds / (mean / 1000.0), 2),
             underruns=self.underruns,
             dropped_input_samples=self.dropped_input_samples,
+            errors=self.errors,
         )

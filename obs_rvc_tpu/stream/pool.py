@@ -4,18 +4,30 @@ One :class:`StreamPool` drives ``capacity`` concurrent voice streams through
 a single vmapped (DP) step per tick — the single-host unit of BASELINE's
 "64 concurrent voices data-parallel" config. Each slot has its own ring
 buffers, controls, and streaming state; the worker steps *all* slots
-together (fixed shapes — detached slots process silence and their output is
-dropped), so per-chunk cost amortizes the per-dispatch overhead across
-streams (see BENCHMARKS.md: 32 streams cost ~7.5× one stream, not 32×).
+together (fixed shapes — detached or starved slots process silence), so
+per-chunk cost amortizes the per-dispatch overhead across streams (see
+BENCHMARKS.md: 32 streams cost ~7.5× one stream, not 32×).
+
+A slot that is active but has no full input chunk is *frozen*: it rides the
+batched step with silence input, but its state and output are discarded —
+the stream resumes exactly where it left off, matching the reference's
+accumulate-and-wait (``obs-rvc/src/lib.rs:811-828``; a starved stream must
+not have silence injected into its 2.4 s model context or SOLA tail).
 
 Slots attach/detach dynamically: attach clears the slot's state (the
-reference's ``clear_state`` semantics per filter instance).
+reference's ``clear_state`` semantics per filter instance). Slot lifecycle
+is made safe against the concurrent worker with a per-slot epoch counter:
+state/output computed from a snapshot older than the slot's current epoch
+is dropped instead of merged.
 """
 
 from __future__ import annotations
 
+import logging
 import threading
 from typing import Optional
+
+logger = logging.getLogger(__name__)
 
 import numpy as np
 import jax
@@ -47,6 +59,9 @@ class StreamPool:
         self._active = [False] * capacity
         self._controls = [StepControls.default() for _ in range(capacity)]
         self._states = StreamState.init_batch(cfg, capacity)
+        # bumped by _clear_slot; the worker drops results computed from a
+        # stale epoch (attach/detach racing the batched step)
+        self._epoch = [0] * capacity
         self.metrics = ChunkMetrics(chunk_seconds=cfg.latency_seconds)
 
         self._lock = threading.Lock()
@@ -73,6 +88,8 @@ class StreamPool:
             self._clear_slot(slot)
 
     def _clear_slot(self, i: int) -> None:
+        # caller holds self._lock
+        self._epoch[i] += 1
         fresh = StreamState.init(self.pipeline.cfg)
         self._states = jax.tree.map(
             lambda batch, single: jnp.asarray(batch).at[i].set(jnp.asarray(single)),
@@ -108,14 +125,22 @@ class StreamPool:
     # --- batched worker ---
 
     def process_pending(self) -> int:
-        """One batched step when at least one active slot has a full chunk;
-        slots without input contribute silence (their output is dropped and
-        their state keeps sliding — a stream that stalls behaves like a
-        stream of silence, matching the reference's zero-filled buffers)."""
+        """One batched step when at least one active slot has a full chunk.
+
+        Slots without a full input chunk ride the step with silence but are
+        *frozen*: their post-step state and output are discarded (masked
+        merge below), so a starved stream resumes with its context intact
+        (the reference accumulates and waits, ``lib.rs:811-828``)."""
+        with self._lock:
+            active = list(self._active)
+            controls_snap = list(self._controls)
+            epochs = list(self._epoch)
+            states = self._states
+
         chunks = np.zeros((self.capacity, self._chunk), np.float32)
         have = np.zeros(self.capacity, bool)
         for i in range(self.capacity):
-            if not self._active[i]:
+            if not active[i]:
                 continue
             c = self._in[i].pop_exact(self._chunk)
             if c is not None:
@@ -124,19 +149,43 @@ class StreamPool:
         if not have.any():
             return 0
 
-        controls = jax.tree.map(lambda *xs: jnp.stack(xs), *self._controls)
+        controls = jax.tree.map(lambda *xs: jnp.stack(xs), *controls_snap)
+        failed = False
         with self.metrics.time_chunk():
             try:
-                self._states, out = self.pipeline.staged_step(
-                    self.params, self._states, jnp.asarray(chunks), controls, batched=True
+                new_states, out = self.pipeline.staged_step(
+                    self.params, states, jnp.asarray(chunks), controls, batched=True
                 )
                 out = np.asarray(jax.block_until_ready(out))
             except Exception:
+                logger.exception(
+                    "batched step failed; emitting silence for fed slots and resetting"
+                )
+                self.metrics.record_error()
+                failed = True
                 out = np.zeros((self.capacity, self._chunk), np.float32)
-                self._states = StreamState.init_batch(self.pipeline.cfg, self.capacity)
-        for i in range(self.capacity):
-            if have[i]:
-                self._out[i].push(out[i])
+                new_states = StreamState.init_batch(self.pipeline.cfg, self.capacity)
+
+        with self._lock:
+            # merge states only for slots that (a) consumed real input this
+            # tick and (b) were not re-attached/cleared while we computed
+            fresh_ok = np.array(
+                [have[i] and self._epoch[i] == epochs[i] for i in range(self.capacity)]
+            )
+            mask = jnp.asarray(fresh_ok)
+            self._states = jax.tree.map(
+                lambda new, cur: jnp.where(
+                    mask.reshape((self.capacity,) + (1,) * (jnp.ndim(cur) - 1)), new, cur
+                ),
+                jax.tree.map(jnp.asarray, new_states),
+                jax.tree.map(jnp.asarray, self._states),
+            )
+            for i in range(self.capacity):
+                if fresh_ok[i] and not failed:
+                    self._out[i].push(out[i])
+                elif fresh_ok[i]:
+                    # failed step: keep audio flowing with silence
+                    self._out[i].push(np.zeros(self._chunk, np.float32))
         return int(have.sum())
 
     def _loop(self) -> None:

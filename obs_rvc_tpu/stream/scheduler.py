@@ -19,11 +19,14 @@ pipeline. Differences by design:
 
 from __future__ import annotations
 
+import logging
 import threading
 from typing import Optional
 
 import numpy as np
 import jax
+
+logger = logging.getLogger(__name__)
 
 from obs_rvc_tpu.serve.metrics import ChunkMetrics
 from obs_rvc_tpu.stream.pipeline import RvcPipeline, StepControls
@@ -98,7 +101,11 @@ class StreamSession:
                     self.state, out = step(self.params, self.state, chunk, self.controls)
                     out = np.asarray(jax.block_until_ready(out))
                 except Exception:
-                    # engine failure → silence chunk + state reset (lib.rs:716-727)
+                    # engine failure → silence chunk + state reset, logged and
+                    # counted so a persistent fault is visible in /metrics
+                    # (the reference logs before zero-filling, lib.rs:716-727)
+                    logger.exception("chunk step failed; emitting silence and resetting state")
+                    self.metrics.record_error()
                     out = np.zeros(self._chunk, np.float32)
                     self.state = StreamState.init(self.pipeline.cfg)
             self._out.push(out)

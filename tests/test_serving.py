@@ -330,3 +330,107 @@ def test_stream_pool_full():
     pool.attach()
     with pytest.raises(RuntimeError):
         pool.attach()
+
+
+def test_stream_pool_starved_slot_freezes():
+    """A starved active slot's state must freeze, not slide over silence:
+    after stalling for several ticks (while another slot keeps the pool
+    stepping), its resumed output must be identical to an uninterrupted run
+    (the reference accumulates and waits, lib.rs:811-828)."""
+    from obs_rvc_tpu.stream import StreamPool
+
+    cfg = small_cfg(skip_inference=True)
+    pipe = RvcPipeline(cfg)
+    n_chunks = 6
+    chunk = cfg.sample_frame_size
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal(n_chunks * chunk).astype(np.float32) * 0.1
+
+    def run(starve_after=None, starve_ticks=0):
+        pool = StreamPool(pipe, params={}, capacity=2)
+        s = pool.attach()
+        other = pool.attach()  # keeps the pool ticking while s is starved
+        out = []
+        fed = 0
+        ticks = 0
+        while fed < n_chunks:
+            starving = starve_after is not None and fed == starve_after and ticks < starve_ticks
+            if not starving:
+                pool.push_audio(s, wav[fed * chunk : (fed + 1) * chunk])
+                fed += 1
+            pool.push_audio(other, np.zeros(chunk, np.float32))
+            ticks += 1
+            pool.process_pending()
+        out.append(pool.pull_audio(s, n_chunks * chunk))
+        return np.concatenate(out)
+
+    uninterrupted = run()
+    starved = run(starve_after=3, starve_ticks=4)
+    np.testing.assert_array_equal(starved, uninterrupted)
+
+
+def test_stream_pool_failure_observable():
+    """A failing batched step logs, bumps the error counter, and emits
+    silence for fed slots (reference's logged recovery, lib.rs:716-727)."""
+    from obs_rvc_tpu.stream import StreamPool
+
+    cfg = small_cfg(skip_inference=True)
+    pool = StreamPool(RvcPipeline(cfg), params={}, capacity=2)
+    s = pool.attach()
+
+    def boom(*a, **k):
+        raise RuntimeError("injected failure")
+
+    pool.pipeline = type("P", (), {"cfg": cfg, "staged_step": staticmethod(boom)})()
+    pool.push_audio(s, np.ones(cfg.sample_frame_size, np.float32))
+    assert pool.process_pending() == 1
+    assert pool.metrics.errors == 1
+    out = pool.pull_audio(s, cfg.sample_frame_size)
+    np.testing.assert_array_equal(out, 0.0)
+
+
+def test_stream_session_failure_observable():
+    cfg = small_cfg(skip_inference=True)
+    sess = StreamSession(RvcPipeline(cfg), params={})
+
+    def boom(*a, **k):
+        raise RuntimeError("injected failure")
+
+    sess.pipeline = type("P", (), {"cfg": cfg, "jit_step": staticmethod(boom),
+                                   "staged_step": staticmethod(boom)})()
+    sess.push_audio(np.ones(cfg.sample_frame_size, np.float32))
+    sess.process_pending()
+    assert sess.metrics.errors == 1
+
+
+def test_stream_pool_attach_detach_hammer():
+    """Attach/detach churn concurrent with the batched worker must not
+    corrupt slot bookkeeping (per-slot epoch guard)."""
+    from obs_rvc_tpu.stream import StreamPool
+
+    cfg = small_cfg(skip_inference=True)
+    pool = StreamPool(RvcPipeline(cfg), params={}, capacity=4)
+    anchor = pool.attach()  # keeps ticks happening
+    stop = threading.Event()
+    errors = []
+
+    def churn():
+        try:
+            while not stop.is_set():
+                slot = pool.attach()
+                pool.push_audio(slot, np.zeros(cfg.sample_frame_size, np.float32))
+                pool.detach(slot)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    t = threading.Thread(target=churn)
+    t.start()
+    try:
+        for _ in range(30):
+            pool.push_audio(anchor, np.zeros(cfg.sample_frame_size, np.float32))
+            pool.process_pending()
+    finally:
+        stop.set()
+        t.join(timeout=10)
+    assert not errors
+    assert pool.metrics.errors == 0
