@@ -93,25 +93,47 @@ def test_mel_filterbank_matches_librosa_semantics():
     # test_mel_matches_torchaudio below.
 
 
-def test_mel_matches_torchaudio():
-    torchaudio = pytest.importorskip("torchaudio")
-    from torchaudio.functional import melscale_fbanks
+def test_mel_matches_independent_oracle():
+    """Filterbank vs an independent scalar-math construction of the
+    HTK-mel / Slaney-norm triangles (textbook formulas, built per-filter
+    per-bin — a deliberately different code path from the vectorized
+    ramps in dsp/mel.py). Replaces the torchaudio oracle (absent in this
+    image) so the gate always runs; the vectorized path was originally
+    validated against torchaudio melscale_fbanks with identical config."""
+    sr, n_fft, n_mels, fmin, fmax = 16000, 1024, 128, 30.0, 8000.0
 
-    theirs = (
-        melscale_fbanks(
-            n_freqs=513,
-            f_min=30.0,
-            f_max=8000.0,
-            n_mels=128,
-            sample_rate=16000,
-            norm="slaney",
-            mel_scale="htk",
-        )
-        .numpy()
-        .T
-    )
-    ours = mel_filterbank(16000, 1024, 128, 30.0, 8000.0, htk=True, norm="slaney")
-    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+    def hz2mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def mel2hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    # n_mels + 2 equally-spaced mel points → triangle corner frequencies
+    edges = [mel2hz(hz2mel(fmin) + (hz2mel(fmax) - hz2mel(fmin)) * i / (n_mels + 1))
+             for i in range(n_mels + 2)]
+    n_bins = n_fft // 2 + 1
+    oracle = np.zeros((n_mels, n_bins))
+    for m in range(n_mels):
+        lo, center, hi = edges[m], edges[m + 1], edges[m + 2]
+        for b in range(n_bins):
+            f = b * sr / 2.0 / (n_bins - 1)
+            if lo < f < hi:
+                w = (f - lo) / (center - lo) if f <= center else (hi - f) / (hi - center)
+            elif f == center:
+                w = 1.0
+            else:
+                w = 0.0
+            # Slaney: normalize to ~constant energy per filter (area 1)
+            oracle[m, b] = w * 2.0 / (hi - lo)
+
+    ours = mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk=True, norm="slaney")
+    np.testing.assert_allclose(ours, oracle, atol=1e-7)
+
+    # analytic invariants: each filter peaks at the bin nearest its center
+    fft_freqs = np.linspace(0, sr / 2, n_bins)
+    for m in range(0, n_mels, 17):
+        peak_bin = int(np.argmax(ours[m]))
+        assert abs(fft_freqs[peak_bin] - edges[m + 1]) <= sr / 2 / (n_bins - 1)
 
 
 def test_log_mel_shapes_and_clamp():
