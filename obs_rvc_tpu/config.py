@@ -214,6 +214,50 @@ class ChunkConfig:
             input_buffer_16k_size=input_buffer_16k_size,
         )
 
+    @staticmethod
+    def for_request(
+        input_16k_len: int,
+        sample_frame_16k_size: int,
+        skip_head: int,
+        return_length: int,
+        model_sample_rate: int = 40000,
+        feature_dim: int = 768,
+        sample_rate: int = 48000,
+    ) -> "ChunkConfig":
+        """Geometry for one engine/RPC request, from the raw numbers the wire
+        protocol carries (``rvc/src/rvc.rs:133-220``: input length,
+        ``sample_frame_16k_size``, ``skip_head``, ``return_length``). The
+        reference serves whatever geometry each request specifies; this
+        constructor lets :class:`~obs_rvc_tpu.stream.engine.RvcEngine` do the
+        same with a per-geometry compiled-executable cache. Only the
+        16 kHz-side fields are meaningful — the device-rate fields are
+        engine-unused (the 48 kHz resample/SOLA half lives client-side in
+        this serving mode) and set to consistent placeholders."""
+        if sample_frame_16k_size % ZC_16K != 0:
+            raise ValueError(
+                f"sample_frame_16k_size must be a multiple of {ZC_16K}, "
+                f"got {sample_frame_16k_size}"
+            )
+        zc = sample_rate // 100
+        frames_in = -(-input_16k_len // ZC_16K)  # ceil; 48k-side placeholder
+        return ChunkConfig(
+            sample_rate=sample_rate,
+            model_sample_rate=model_sample_rate,
+            feature_dim=feature_dim,
+            skip_inference=False,
+            zc=zc,
+            sample_frame_size=(sample_frame_16k_size // ZC_16K) * zc,
+            crossfade_frame_size=4 * zc,
+            sola_buffer_frame_size=4 * zc,
+            sola_search_frame_size=zc,
+            extra_frame_size=skip_head * zc,
+            input_buffer_size=frames_in * zc,
+            model_return_length=return_length,
+            model_return_size=return_length * (model_sample_rate // 100),
+            sample_frame_16k_size=sample_frame_16k_size,
+            input_buffer_16k_size=input_16k_len,
+        )
+
     # --- quantities used by the pipeline ---
 
     @property

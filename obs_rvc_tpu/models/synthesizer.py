@@ -198,10 +198,11 @@ class TextEncoder(nn.Module):
         for i in range(cfg.n_layers):
             y = RelPosAttention(Ch, cfg.n_heads, cfg.attn_window, cfg.dtype,
                                 name=f"attn_{i}")(x)
-            x = nn.LayerNorm(dtype=cfg.dtype, name=f"norm1_{i}")(x + y)
+            # VITS modules.LayerNorm uses eps 1e-5 (flax default is 1e-6)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name=f"norm1_{i}")(x + y)
             y = EncoderFFN(cfg.filter_channels, Ch, cfg.kernel_size, cfg.dtype,
                            name=f"ffn_{i}")(x)
-            x = nn.LayerNorm(dtype=cfg.dtype, name=f"norm2_{i}")(x + y)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name=f"norm2_{i}")(x + y)
 
         stats = nn.Dense(cfg.inter_channels * 2, dtype=cfg.dtype, name="proj")(x)
         m, logs = jnp.split(stats, 2, axis=-1)
@@ -412,7 +413,10 @@ class GeneratorNSF(nn.Module):
                 xs = y if xs is None else xs + y
             x = xs / nk
 
-        x = leaky_relu(x, 0.1)
+        # HiFiGAN's final activation is F.leaky_relu at torch's DEFAULT slope
+        # 0.01, unlike the 0.1 (LRELU_SLOPE) used everywhere else — caught by
+        # the full-model torch-oracle gate (tests/test_torch_oracle.py)
+        x = leaky_relu(x, 0.01)
         x = nn.Conv(1, (7,), padding=((3, 3),), use_bias=False, dtype=cfg.dtype,
                     name="conv_post")(x)
         return jnp.tanh(x)[..., 0].astype(jnp.float32)

@@ -8,17 +8,26 @@ contract over the fused JAX stages, for the serving front door
 (``obs_rvc_tpu.serve.rpc``) and for engine-level tests. The streaming
 pipeline itself (``pipeline.RvcPipeline.step``) inlines the same stages —
 use it instead when you control the whole loop.
+
+Like the reference, the engine honors **whatever geometry each request
+carries** (``rvc.rs:133-220`` recomputes everything from ``input.len()``,
+``sample_frame_16k_size``, ``skip_head``, ``return_length`` per call): each
+distinct request geometry gets its own jitted executable, memoized in a
+small cache (first call per geometry compiles; static shapes after that).
+The ``cache_pitchf`` f0 history is engine-level state shared across calls
+regardless of geometry, exactly as the reference keeps one ``cache_pitchf``
+on ``RvcInfer`` (``rvc.rs:42``).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from obs_rvc_tpu.config import ChunkConfig
 from obs_rvc_tpu.stream.pipeline import RvcPipeline, StepControls
 from obs_rvc_tpu.stream.state import StreamState
 
@@ -28,10 +37,14 @@ class EngineError(RuntimeError):
 
 
 class RvcEngine:
-    def __init__(self, pipeline: RvcPipeline, params: Optional[dict] = None):
+    def __init__(self, pipeline: RvcPipeline, params: Optional[dict] = None,
+                 max_geometries: int = 8):
         self.pipeline = pipeline
         self.params = params
-        self.cache_pitchf = np.zeros(1024, dtype=np.float32)
+        self.cache_pitchf = np.zeros(pipeline.cfg.pitch_cache_len, dtype=np.float32)
+        #: geometry key -> jitted (params, cache, buf16, controls) -> (audio, cache)
+        self._infer_cache: dict = {}
+        self.max_geometries = max_geometries
 
     # --- model management (rvc.rs:46-79) ---
 
@@ -41,9 +54,41 @@ class RvcEngine:
     def unload_model(self) -> None:
         self.params = None
 
-    @functools.cached_property
-    def _jit_infer(self):
-        pipe = self.pipeline
+    def _pipeline_for(self, key) -> RvcPipeline:
+        input_len, n16k, skip_head, return_length = key
+        launch = self.pipeline
+        if (
+            input_len == launch.cfg.input_buffer_16k_size
+            and n16k == launch.cfg.sample_frame_16k_size
+            and skip_head == launch.cfg.skip_head
+            and return_length == launch.cfg.return_length
+        ):
+            return launch
+        cfg = ChunkConfig.for_request(
+            input_len, n16k, skip_head, return_length,
+            model_sample_rate=launch.cfg.model_sample_rate,
+            feature_dim=launch.cfg.feature_dim,
+            sample_rate=launch.cfg.sample_rate,
+        )
+        return RvcPipeline(
+            cfg,
+            version=launch.version,
+            f0_median_radius=launch.f0_median_radius,
+            retrieval_index=launch.retrieval_index,
+            keyshift=launch.keyshift,
+            contentvec_cfg=launch.contentvec_cfg,
+            rmvpe_cfg=launch.rmvpe_cfg,
+            synth_cfg=launch.synth_cfg,
+        )
+
+    def _jit_infer_for(self, key):
+        fn = self._infer_cache.get(key)
+        if fn is not None:
+            return fn
+        try:
+            pipe = self._pipeline_for(key)
+        except (ValueError, AssertionError) as e:
+            raise EngineError(f"invalid request geometry {key}: {e}") from e
 
         def run(params, cache, buf16, controls):
             state = StreamState(
@@ -52,10 +97,15 @@ class RvcEngine:
                 sola_buffer=jnp.zeros((pipe.cfg.sola_buffer_frame_size,), jnp.float32),
                 cache_pitchf=cache,
             )
-            audio, new_cache = pipe._infer(params, state, buf16, controls, None)
-            return audio, new_cache
+            return pipe._infer(params, state, buf16, controls, None)
 
-        return jax.jit(run)
+        fn = jax.jit(run)
+        if len(self._infer_cache) >= self.max_geometries:
+            # bounded: drop the oldest compiled geometry (dict is insertion-
+            # ordered); legacy clients use one or two geometries in practice
+            self._infer_cache.pop(next(iter(self._infer_cache)))
+        self._infer_cache[key] = fn
+        return fn
 
     # --- the RPC-visible call (rvc.rs:133-220) ---
 
@@ -69,19 +119,18 @@ class RvcEngine:
     ) -> np.ndarray:
         if self.params is None:
             raise EngineError("model not loaded")
-        cfg = self.pipeline.cfg
-        if input_16k.shape[-1] != cfg.input_buffer_16k_size:
+        input_len = int(input_16k.shape[-1])
+        hubert_len_bound = input_len // 160
+        if skip_head + return_length > hubert_len_bound:
             raise EngineError(
-                f"input length {input_16k.shape[-1]} != configured buffer "
-                f"{cfg.input_buffer_16k_size}"
+                f"skip_head+return_length ({skip_head}+{return_length}) exceeds "
+                f"available feature frames ({hubert_len_bound})"
             )
-        if sample_frame_16k_size != cfg.sample_frame_16k_size:
-            raise EngineError("sample_frame_16k_size mismatch with configured geometry")
-        if skip_head != cfg.skip_head or return_length != cfg.return_length:
-            raise EngineError("skip_head/return_length mismatch with configured geometry")
+        key = (input_len, int(sample_frame_16k_size), int(skip_head), int(return_length))
+        fn = self._jit_infer_for(key)
 
         controls = StepControls.default(pitch_shift=float(pitch_shift))
-        audio, new_cache = self._jit_infer(
+        audio, new_cache = fn(
             self.params,
             jnp.asarray(self.cache_pitchf),
             jnp.asarray(input_16k, dtype=jnp.float32),

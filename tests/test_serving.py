@@ -162,16 +162,63 @@ def test_engine_geometry_validation():
     cfg = small_cfg()
     pipe = RvcPipeline(cfg)
     eng = RvcEngine(pipe, params=None)
+    # model not loaded
     with pytest.raises(EngineError):
         eng.infer(np.zeros(cfg.input_buffer_16k_size, np.float32),
                   cfg.sample_frame_16k_size, 0, cfg.skip_head, cfg.return_length)
     eng.load_params({"dummy": 1})
+    # invalid: requested slice exceeds available feature frames
     with pytest.raises(EngineError):
         eng.infer(np.zeros(17, np.float32), cfg.sample_frame_16k_size, 0,
                   cfg.skip_head, cfg.return_length)
+    # invalid: n16k not a multiple of 160
     with pytest.raises(EngineError):
         eng.infer(np.zeros(cfg.input_buffer_16k_size, np.float32), 123, 0,
                   cfg.skip_head, cfg.return_length)
+
+
+def test_engine_serves_arbitrary_request_geometry():
+    """The engine must honor per-request geometry like the reference
+    (``rvc/src/rvc.rs:133-220`` recomputes everything per call), not just
+    the launch-time ChunkConfig — with a compiled-executable cache keyed on
+    the request's (input_len, n16k, skip_head, return_length)."""
+    import jax
+
+    cfg = small_cfg()  # launch geometry: 0.10 s chunks, 0.5 s extra
+    pipe = RvcPipeline(cfg)
+    eng = RvcEngine(pipe, pipe.init_params_fast())
+
+    # launch geometry works
+    out1 = eng.infer(
+        np.zeros(cfg.input_buffer_16k_size, np.float32),
+        cfg.sample_frame_16k_size, 0, cfg.skip_head, cfg.return_length,
+    )
+    assert out1.shape == (cfg.return_length * cfg.model_sample_rate // 100,)
+
+    # a different geometry (longer chunk, shorter context — what a legacy
+    # client with non-default sample_length/extra_time sends) also works
+    cfg2 = ChunkConfig.build(
+        sample_rate=48000, sample_length=0.20, extra_inference_time=0.30
+    )
+    assert (cfg2.input_buffer_16k_size, cfg2.sample_frame_16k_size,
+            cfg2.skip_head, cfg2.return_length) != (
+        cfg.input_buffer_16k_size, cfg.sample_frame_16k_size,
+        cfg.skip_head, cfg.return_length)
+    out2 = eng.infer(
+        np.zeros(cfg2.input_buffer_16k_size, np.float32),
+        cfg2.sample_frame_16k_size, 2, cfg2.skip_head, cfg2.return_length,
+    )
+    assert out2.shape == (cfg2.return_length * cfg.model_sample_rate // 100,)
+
+    # pitch cache persists across geometries (engine-level, rvc.rs:42)
+    assert eng.cache_pitchf.shape == (cfg.pitch_cache_len,)
+
+    # the same geometry hits the cached executable (no third entry)
+    eng.infer(
+        np.zeros(cfg2.input_buffer_16k_size, np.float32),
+        cfg2.sample_frame_16k_size, 0, cfg2.skip_head, cfg2.return_length,
+    )
+    assert len(eng._infer_cache) == 2
 
 
 # ---------- metrics ----------
