@@ -49,10 +49,14 @@ def global_mesh(n_model: int = 1):
 
 
 def local_stream_slots(mesh) -> int:
-    """How many data-parallel stream slots this process feeds (= local
-    devices on the data axis)."""
-    local = set(jax.local_devices())
+    """How many data-parallel stream slots this process feeds.
+
+    Convention: the process owning a data row's **first model shard** feeds
+    that stream's input (a row's model shards may span processes under TP;
+    exactly one feeder per stream). Verified by the 2-process CPU test
+    (``tests/test_distributed_multiprocess.py``)."""
     import numpy as np
 
-    grid = np.asarray(mesh.devices)
-    return int(sum(1 for row in grid for d in row[:1] if d in local)) or len(local)
+    proc = jax.process_index()
+    grid = np.asarray(mesh.devices).reshape(mesh.devices.shape[0], -1)
+    return int(sum(1 for row in grid if row[0].process_index == proc))

@@ -84,3 +84,35 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n_model", [2, 4])
+def test_production_dim_contentvec_tp_parity(n_model):
+    """TP-shard the REAL 768-d / 12-head / 3072-ffn ContentVec over the CPU
+    mesh and assert parity with replicated execution — proves the megatron
+    partition rules at production shapes, not dim=64 (VERDICT r1 item 8)."""
+    from obs_rvc_tpu.models import ContentVec, ContentVecConfig
+
+    cfg = ContentVecConfig.v2()
+    assert cfg.dim == 768 and cfg.num_heads == 12 and cfg.ffn_dim == 3072
+    model = ContentVec(cfg)
+    wav = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 16000)).astype(np.float32) * 0.1
+    )
+    variables = model.init(jax.random.PRNGKey(0), wav)
+
+    want = np.asarray(model.apply(variables, wav))
+
+    mesh = make_mesh(n_model=n_model)
+    # wrap under the pipeline param layout so the "contentvec/..." rules match
+    sharded = shard_params({"contentvec": variables}, mesh)["contentvec"]
+    # verify the big kernels actually got partitioned, not silently replicated
+    q = sharded["params"]["layer_0"]["attn"]["query"]["kernel"]
+    assert q.sharding.spec == jax.sharding.PartitionSpec(None, "model", None)
+    fc1 = sharded["params"]["layer_0"]["fc1"]["kernel"]
+    assert not fc1.sharding.is_fully_replicated
+
+    got = np.asarray(jax.jit(model.apply)(sharded, wav))
+    assert got.shape == want.shape == (1, 49, 768)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
