@@ -166,6 +166,14 @@ def main() -> None:
     rtf = (p50 / 1000.0) / chunk_s  # <1 = realtime
     audio_s_per_s = B * chunk_s / (sustained_ms / 1000.0)
 
+    # model FLOPs utilization at sustained throughput (neural nets only;
+    # TPU v5e peak 197 bf16 TFLOP/s)
+    from obs_rvc_tpu.utils.flops import pipeline_gflops_per_chunk
+
+    gflops_per_step = B * pipeline_gflops_per_chunk(cfg)
+    peak_tflops = 197.0 if args.dtype == "bfloat16" else 49.0
+    mfu = (gflops_per_step / (sustained_ms / 1000.0)) / (peak_tflops * 1e3)
+
     print(
         json.dumps(
             {
@@ -178,6 +186,8 @@ def main() -> None:
                     "sustained_ms_per_chunk": round(sustained_ms, 3),
                     "rtf": round(rtf, 4),
                     "audio_seconds_per_second": round(audio_s_per_s, 2),
+                    "mfu": round(mfu, 4),
+                    "model_gflops_per_chunk": round(gflops_per_step / B, 2),
                     "batch": B,
                     "dtype": args.dtype,
                     "chunk_ms": chunk_s * 1000.0,

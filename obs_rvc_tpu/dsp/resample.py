@@ -37,6 +37,34 @@ def _design_filter(up: int, down: int, taps_per_phase: int, beta: float) -> np.n
     return (h * up).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=16)
+def _phase_bank(up: int, down: int, taps_per_phase: int, beta: float):
+    """Decompose the lowpass into ``up`` per-phase kernels over the ORIGINAL
+    (non-dilated) signal:
+
+        y[m*up + r] = Σ_s x[m*down + s] · G[r, s],  G[r, s] = h[up*s + pad − r*down]
+
+    i.e. one VALID conv with ``up`` output channels and stride ``down`` —
+    no ``lhs_dilation`` (input dilation lowers poorly on some backends) and
+    MXU-friendlier shapes. Returns (G [up, 1, W], left_pad, right_margin)."""
+    import numpy as np
+
+    h = _design_filter(up, down, taps_per_phase, beta)
+    L = h.shape[0]
+    pad = (L - 1) // 2
+    # s range where any phase has support: 0 <= up*s + pad - r*down < L
+    s_min = min(-(-(0 - pad + r * down) // up) for r in range(up))  # ceil div
+    s_max = max((L - 1 - pad + r * down) // up for r in range(up))
+    W = s_max - s_min + 1
+    G = np.zeros((up, 1, W), np.float32)
+    for r in range(up):
+        for s in range(s_min, s_max + 1):
+            t = up * s + pad - r * down
+            if 0 <= t < L:
+                G[r, 0, s - s_min] = h[t]
+    return G, -s_min, s_max
+
+
 def resample_poly(
     x: jnp.ndarray,
     sr_in: int,
@@ -50,7 +78,50 @@ def resample_poly(
     the chunk sizes the pipeline uses (all multiples of both rates' 10 ms
     blocks). Edges are zero-padded; callers needing clean edges supply
     context and crop (see module docstring).
+
+    Implementation: polyphase decomposition as ONE stride-``down`` VALID
+    conv with ``up`` output channels (phases), then interleave — identical
+    values to the textbook zero-stuff/filter/decimate formulation (gated by
+    ``test_resample_phase_bank_matches_dilated_conv``) without input
+    dilation, which the TPU conv path lowers poorly.
     """
+    up, down = gcd_ratio(sr_in, sr_out)
+    if up == 1 and down == 1:
+        return x
+
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None, :]
+    n = x.shape[-1]
+    m_out = -(-n // down)  # output phase-groups: ceil(n/down)
+
+    G, left, right = _phase_bank(up, down, taps_per_phase, beta)
+    # pad so frame m covers x[m*down - left .. m*down + right]
+    need = (m_out - 1) * down + right + 1
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (left, max(0, need - n))))
+
+    out = jax.lax.conv_general_dilated(
+        xp[:, None, :],
+        jnp.asarray(G),
+        window_strides=(down,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )  # [B, up, m_out]
+    y = jnp.swapaxes(out, 1, 2).reshape(x.shape[0], m_out * up)
+    y = y[:, : -(-n * up // down)]
+
+    return y[0] if squeeze else y
+
+
+def resample_poly_dilated(
+    x: jnp.ndarray,
+    sr_in: int,
+    sr_out: int,
+    taps_per_phase: int = 16,
+    beta: float = 8.555,
+) -> jnp.ndarray:
+    """Textbook formulation (zero-stuff via ``lhs_dilation`` + stride) —
+    kept as the parity oracle for the phase-bank path."""
     up, down = gcd_ratio(sr_in, sr_out)
     if up == 1 and down == 1:
         return x
@@ -63,9 +134,6 @@ def resample_poly(
     if squeeze:
         x = x[None, :]
 
-    # [batch, 1, n] ⊛ h with zero-stuffing (lhs_dilation=up) and stride=down.
-    # lhs_dilation yields up*(n-1)+1 samples; pad (up-1) extra zeros on the
-    # right so the output covers exactly ceil(n*up/down) sample instants.
     out = jax.lax.conv_general_dilated(
         x[:, None, :].astype(jnp.float32),
         h[None, None, :],

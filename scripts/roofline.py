@@ -8,11 +8,26 @@ Usage: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/roofline.py
 """
 
 import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from obs_rvc_tpu.utils.flops import contentvec_gflops, rmvpe_gflops, synth_gflops
 
 # TPU v5e (lite) single-chip peaks
 PEAK_BF16_TFLOPS = 197.0
 PEAK_F32_TFLOPS = 49.0
 HBM_GBPS = 820.0
+
+# measured sustained per-stage times (ms), device-resident inputs, bf16 —
+# see BENCHMARKS.md; update when re-measured
+MEASURED = {
+    "contentvec": 0.38,
+    "rmvpe": 0.47,
+    "synthesizer": 0.37,
+    "retrieval@1M": 6.0,
+}
 
 
 @dataclasses.dataclass
@@ -36,79 +51,21 @@ class Stage:
         print(line)
 
 
-def contentvec_flops(L16k=38080, dim=768, layers=12, ffn=3072):
-    # conv frontend: per output timestep sum(k_i * c_in * c_out)
-    t = L16k
-    fl = 0.0
-    specs = [(1, 512, 10, 5), (512, 512, 3, 2)] + [(512, 512, 3, 2)] * 3 + [(512, 512, 2, 2)] * 2
-    for cin, cout, k, s in specs:
-        t = (t - k) // s + 1
-        fl += 2 * t * k * cin * cout
-    T = t
-    # transformer: attn 4*T*d^2*2 + 2*2*T^2*d ; ffn 2*2*T*d*ffn
-    per_layer = 2 * (4 * T * dim * dim) + 2 * (2 * T * T * dim) + 2 * (2 * T * dim * ffn)
-    fl += layers * per_layer
-    params = 94.4e6
-    mbytes = params * 2 / 1e6 + T * dim * 4 * 4 / 1e6
-    return fl / 1e9, mbytes, T
-
-
-def rmvpe_flops(T=64, mels=128):
-    # 5-level unet, 4 blocks/level, 2 convs/block 3x3; channels 16..256
-    fl = 0.0
-    h, w = T, mels
-    ch_in = 1
-    for ch in (16, 32, 64, 128, 256):
-        fl += 2 * h * w * 9 * ch_in * ch  # first block conv1
-        fl += 2 * h * w * 9 * ch * ch * (2 * 4 - 1)  # remaining convs of 4 blocks
-        h, w = h // 2, w // 2
-        ch_in = ch
-    # intermediate 4 blocks at 512
-    fl += 2 * h * w * 9 * 256 * 512
-    fl += 2 * h * w * 9 * 512 * 512 * (2 * 4 - 1)
-    # decoder mirror (upsampled sizes)
-    ch = 512
-    for skip in (256, 128, 64, 32, 16):
-        h, w = h * 2, w * 2
-        ch = ch // 2
-        fl += 2 * h * w * 9 * (2 * ch) * ch * (2 * 4)  # up + blocks, rough
-    # gru + fc
-    fl += 2 * T * (3 * 256 * 384 + 3 * 256 * 256) * 2
-    fl += 2 * T * 512 * 360
-    params = 55e6
-    return fl / 1e9, params * 2 / 1e6 + 5.0
-
-
-def synth_flops(T=35, upp=400):
-    # enc_p: 6 layers, d=192, ffn 768, k=3
-    d, f = 192, 768
-    fl = 6 * (2 * 4 * T * d * d + 2 * 2 * T * T * d + 2 * 2 * T * d * f * 3)
-    # flow: 4 flows × 3 WN layers, conv k=5 hidden 192 → 384
-    fl += 4 * (2 * T * (96 * 192) + 3 * 2 * T * 5 * 192 * 384 + 2 * T * 192 * 96)
-    # generator: conv_pre + ups + resblocks at each scale
-    L = T
-    ch = 512
-    fl += 2 * L * 7 * 192 * 512
-    for u, k in ((10, 16), (10, 16), (2, 4), (2, 4)):
-        L *= u
-        ch //= 2
-        fl += 2 * L * k * (2 * ch) * ch / u  # transposed conv
-        fl += 3 * 6 * 2 * L * 11 * ch * ch  # 3 resblocks × 6 convs, k≈avg 7-11
-    fl += 2 * L * 7 * ch
-    params = 55e6
-    return fl / 1e9, params * 2 / 1e6 + L * 4 / 1e6
-
-
 def main():
-    cf, cm, T = contentvec_flops()
-    rf, rm = rmvpe_flops()
-    sf, sm = synth_flops()
+    L16k, T_mel, T_ret = 38080, 64, 35
+    cf = contentvec_gflops(L16k)
+    T = 119
+    rf = rmvpe_gflops(T_mel)
+    sf = synth_gflops(T_ret)
+    cm = 94.4e6 * 2 / 1e6 + T * 768 * 4 * 4 / 1e6
+    rm = 55e6 * 2 / 1e6 + 5.0
+    sm = 55e6 * 2 / 1e6 + T_ret * 400 * 4 / 1e6
     stages = [
-        Stage("contentvec", cf, cm, 0.38),
-        Stage("rmvpe", rf, rm, 0.84),
-        Stage("synthesizer", sf, sm, 0.51),
+        Stage("contentvec", cf, cm, MEASURED.get("contentvec")),
+        Stage("rmvpe", rf, rm, MEASURED.get("rmvpe")),
+        Stage("synthesizer", sf, sm, MEASURED.get("synthesizer")),
         Stage("mel(frontend)", 2 * 64 * 1024 * 513 * 2 / 1e9, 3.0, None),
-        Stage("retrieval@1M", 2 * 37 * 1e6 * 768 / 1e9, 3100.0, 6.0),
+        Stage("retrieval@1M", 2 * 37 * 1e6 * 768 / 1e9, 3100.0, MEASURED.get("retrieval@1M")),
     ]
     print(f"TPU v5e: {PEAK_BF16_TFLOPS} TF/s bf16, {HBM_GBPS} GB/s HBM")
     print(f"(contentvec frames T={T})")
@@ -117,7 +74,7 @@ def main():
         s.report()
         total_floor += max(s.gflops / (PEAK_BF16_TFLOPS * 1e3), s.mbytes / HBM_GBPS)
     print(f"\nsum of stage floors: {total_floor:.3f} ms per 300 ms chunk")
-    print("measured sustained step: 5.3 ms (models ~1.7 ms + DSP ~1.2 ms + dispatch)")
+    print("see BENCHMARKS.md for current measured sustained step time")
 
 
 if __name__ == "__main__":

@@ -77,6 +77,50 @@ def main():
         sola_buf = jnp.zeros(cfg.sola_buffer_frame_size)
         bench("dsp", jax.jit(dsp_fn), buf, model_out, sola_buf)
 
+    if "dspsub" in STAGES:
+        # per-op breakdown of the DSP block (roofline-gap hunt)
+        from obs_rvc_tpu.dsp import envelope_mixing, resample_poly, sola_crossfade, sola_offset
+
+        rng2 = np.random.default_rng(1)
+        buf = jnp.asarray(rng2.standard_normal(cfg.input_buffer_size).astype(np.float32) * 0.1)
+        model_out = jnp.asarray(
+            rng2.standard_normal(cfg.model_return_size).astype(np.float32) * 0.1
+        )
+        out48 = jnp.asarray(
+            rng2.standard_normal(
+                cfg.model_return_size * cfg.sample_rate // cfg.model_sample_rate
+            ).astype(np.float32) * 0.1
+        )
+        sola_buf = jnp.asarray(
+            rng2.standard_normal(cfg.sola_buffer_frame_size).astype(np.float32) * 0.1
+        )
+        window = jnp.asarray(rng2.standard_normal(cfg.downsample_window).astype(np.float32))
+
+        bench("resamp_down", jax.jit(lambda x: resample_poly(x, cfg.sample_rate, 16000)), window)
+        bench("resamp_up", jax.jit(
+            lambda x: resample_poly(x, cfg.model_sample_rate, cfg.sample_rate)), model_out)
+        bench("envelope", jax.jit(
+            lambda b, o: envelope_mixing(b[cfg.extra_frame_size:], o, cfg.sample_rate, 0.5)),
+            buf, out48)
+        bench("sola_offset", jax.jit(
+            lambda o, s: sola_offset(o, s, cfg.sola_buffer_frame_size,
+                                     cfg.sola_search_frame_size)), out48, sola_buf)
+        bench("sola_xfade", jax.jit(
+            lambda o, s: sola_crossfade(o, s, jnp.int32(17), pipe._fade_in, pipe._fade_out,
+                                        cfg.sample_frame_size)), out48, sola_buf)
+
+    if "pre" in STAGES:
+        state = StreamState.init(cfg)
+        chunk = jnp.zeros(cfg.sample_frame_size)
+        bench("pre", pipe._staged_jits["pre"],
+              jnp.asarray(state.input_buffer_16k), jnp.asarray(state.input_buffer), chunk)
+
+    if "post" in STAGES:
+        buf = jnp.zeros(cfg.input_buffer_size)
+        model_out = jnp.zeros(cfg.model_return_size)
+        sola_buf = jnp.zeros(cfg.sola_buffer_frame_size)
+        bench("post", pipe._staged_jits["post"], buf, model_out, sola_buf, jnp.float32(0.5))
+
     if "step" in STAGES:
         state = StreamState.init(cfg)
         chunk = jnp.zeros(cfg.sample_frame_size)

@@ -317,3 +317,32 @@ def test_to_local_average_cents_fuzz_vs_python_rmvpe():
         want = _python_rmvpe_to_local_average_cents(sal)
         got = np.asarray(to_local_average_cents(jnp.asarray(sal), 0.03))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_resample_phase_bank_matches_dilated_conv():
+    """The production phase-bank polyphase conv (no lhs_dilation) must equal
+    the textbook zero-stuff formulation to f32 rounding for every rate pair
+    the pipeline uses (and a non-trivial 44.1k case)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from obs_rvc_tpu.dsp.resample import resample_poly, resample_poly_dilated
+
+    rng = np.random.default_rng(0)
+    for sr_in, sr_out, n in [
+        (48000, 16000, 17760),   # pre-stage down path
+        (40000, 48000, 17280),   # post-stage up path (40k model)
+        (32000, 48000, 9600),    # 32k model
+        (16000, 48000, 4800),    # skip-inference passthrough
+        (44100, 48000, 4410),    # large up/down (147/160)
+    ]:
+        x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        a = np.asarray(resample_poly(x, sr_in, sr_out))
+        b = np.asarray(resample_poly_dilated(x, sr_in, sr_out))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-6)
+    # batched input follows the same path
+    xb = jnp.asarray(rng.standard_normal((3, 17280)).astype(np.float32))
+    ab = np.asarray(resample_poly(xb, 40000, 48000))
+    bb = np.asarray(resample_poly_dilated(xb, 40000, 48000))
+    np.testing.assert_allclose(ab, bb, atol=2e-6)
