@@ -27,6 +27,10 @@ class MetricsSnapshot:
     underruns: int
     dropped_input_samples: int
     errors: int = 0
+    #: per-stage p50 wall ms (populated when the session runs staged with
+    #: ``stage_timing=True`` — the reference's per-session
+    #: "hubert/pitch/inference" timers, rvc.rs:217, as live metrics)
+    stage_p50_ms: dict = dataclasses.field(default_factory=dict)
 
     def as_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -36,6 +40,8 @@ class ChunkMetrics:
     def __init__(self, chunk_seconds: float, window: int = 256):
         self.chunk_seconds = chunk_seconds
         self._times_ms: Deque[float] = collections.deque(maxlen=window)
+        self._stage_ms: dict[str, Deque[float]] = {}
+        self._window = window
         self.total_chunks = 0
         self.underruns = 0
         self.dropped_input_samples = 0
@@ -66,17 +72,29 @@ class ChunkMetrics:
     def record_dropped(self, samples: int) -> None:
         self.dropped_input_samples += samples
 
+    def record_stages(self, stage_ms: dict) -> None:
+        """Record one chunk's per-stage wall times (``{stage: ms}``)."""
+        for name, ms in stage_ms.items():
+            self._stage_ms.setdefault(
+                name, collections.deque(maxlen=self._window)
+            ).append(ms)
+
     def record_error(self) -> None:
         """A chunk step raised (engine failure → silence-fill recovery); the
         reference logs the error before zero-filling (lib.rs:716-727)."""
         self.errors += 1
 
     def snapshot(self) -> MetricsSnapshot:
+        stage_p50 = {
+            name: round(statistics.median(v), 3)
+            for name, v in self._stage_ms.items()
+            if v
+        }
         ts = sorted(self._times_ms)
         if not ts:
             return MetricsSnapshot(
                 0, 0.0, 0.0, 0.0, 0.0, 0.0, self.underruns,
-                self.dropped_input_samples, self.errors,
+                self.dropped_input_samples, self.errors, stage_p50,
             )
         p50 = statistics.median(ts)
         p95 = ts[max(0, int(len(ts) * 0.95) - 1)]
@@ -92,4 +110,5 @@ class ChunkMetrics:
             underruns=self.underruns,
             dropped_input_samples=self.dropped_input_samples,
             errors=self.errors,
+            stage_p50_ms=stage_p50,
         )

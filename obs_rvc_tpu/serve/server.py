@@ -1,0 +1,166 @@
+"""Unified streaming server entry point.
+
+Brings up every serving front door over one pipeline/pool:
+
+- duplex PCM over raw TCP (``stream_server``, tag-framed)
+- the same protocol over WebSocket (``ws``) for browser clients
+- HTTP health/metrics (``health``)
+- optionally the reference-wire-compatible RPC server (``rpc``) on stdio
+  replacement semantics — TCP only here
+
+Usage::
+
+    python -m obs_rvc_tpu.serve.server --port 7861 --ws-port 7862 \
+        --health-port 8080 --pool 8 --model model.pth [...]
+
+All model/settings flags match ``serve.cli`` (the reference's 13 settings,
+``obs-rvc/src/lib.rs:77-89``). With ``--pool N``, connections claim slots of
+one batched StreamPool (one vmapped step per tick — DP serving); otherwise
+each connection gets an independent StreamSession.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import threading
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native RVC streaming server")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7861, help="duplex TCP port (0 = off)")
+    p.add_argument("--ws-port", type=int, default=0, help="WebSocket port (0 = off)")
+    p.add_argument("--health-port", type=int, default=0, help="health/metrics HTTP port (0 = off)")
+    p.add_argument("--rpc-port", type=int, default=0,
+                   help="reference-compatible RPC port (0 = off)")
+    p.add_argument("--pool", type=int, default=0,
+                   help="batch connections through a StreamPool of this capacity (0 = per-connection sessions)")
+    p.add_argument("--device-sample-rate", type=int, default=48000)
+    # model artifacts + the 13 settings (mirrors serve.cli)
+    p.add_argument("--model")
+    p.add_argument("--contentvec")
+    p.add_argument("--rmvpe")
+    p.add_argument("--index")
+    p.add_argument("--model-version", default="v2", choices=["v1", "v2"])
+    p.add_argument("--dest-sample-rate", type=int, default=40000)
+    p.add_argument("--pitch-shift", type=float, default=0.0)
+    p.add_argument("--resonance-shift", type=float, default=0.0)
+    p.add_argument("--index-rate", type=float, default=0.0)
+    p.add_argument("--loudness-factor", type=float, default=1.0)
+    p.add_argument("--sample-length", type=float, default=0.30)
+    p.add_argument("--fade-length", type=float, default=0.07)
+    p.add_argument("--extra-inference-time", type=float, default=2.00)
+    p.add_argument("--skip-inference", action="store_true")
+    p.add_argument("--speaker-id", type=int, default=0)
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--stage-timing", action="store_true",
+                   help="collect per-stage p50s into /metrics (forces per-stage sync)")
+    return p
+
+
+def build_pipeline(args):
+    import jax.numpy as jnp
+
+    from obs_rvc_tpu.config import RvcModelVersion, StreamSettings
+    from obs_rvc_tpu.models.checkpoints import load_pipeline_params
+    from obs_rvc_tpu.retrieval import RetrievalIndex
+    from obs_rvc_tpu.stream import RvcPipeline, StepControls
+
+    settings = StreamSettings(
+        model_path=args.model,
+        index_path=args.index,
+        model_version=RvcModelVersion.from_str(args.model_version),
+        dest_sample_rate=args.dest_sample_rate,
+        pitch_shift=int(args.pitch_shift),
+        resonance_shift=args.resonance_shift,
+        index_rate=args.index_rate,
+        rms_mix_rate=args.loudness_factor,
+        sample_length=args.sample_length,
+        fade_length=args.fade_length,
+        extra_inference_time=args.extra_inference_time,
+        skip_inference=args.skip_inference,
+    )
+    cfg = settings.chunk_config(args.device_sample_rate)
+    pipe = RvcPipeline(
+        cfg,
+        settings.model_version,
+        retrieval_index=RetrievalIndex() if args.index else None,
+        compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+    )
+    params = load_pipeline_params(
+        pipe,
+        contentvec_path=args.contentvec,
+        rmvpe_path=args.rmvpe,
+        synthesizer_path=args.model,
+        index_path=args.index,
+    )
+    controls = StepControls.default(
+        pitch_shift=args.pitch_shift,
+        rms_mix_rate=args.loudness_factor,
+        index_rate=args.index_rate,
+        sid=args.speaker_id,
+    )
+    return pipe, params, controls
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    from obs_rvc_tpu.serve.health import start_health_server
+    from obs_rvc_tpu.serve.stream_server import serve_tcp
+    from obs_rvc_tpu.serve.ws import serve_ws_tcp
+    from obs_rvc_tpu.stream import StreamSession
+    from obs_rvc_tpu.stream.pool import StreamPool
+
+    pipe, params, controls = build_pipeline(args)
+
+    pool = None
+    metrics = None
+    if args.pool:
+        pool = StreamPool(pipe, params, capacity=args.pool, batch_min=max(1, args.pool // 4))
+        pool.start()
+        metrics = pool.metrics
+
+        def make_session():  # pragma: no cover - pool path claims slots instead
+            raise RuntimeError("pool mode")
+    else:
+        from obs_rvc_tpu.serve.metrics import ChunkMetrics
+
+        # one scrape target aggregating every connection's session
+        metrics = ChunkMetrics(chunk_seconds=pipe.cfg.latency_seconds)
+
+        def make_session():
+            return StreamSession(
+                pipe, params, controls,
+                stage_timing=args.stage_timing, metrics=metrics,
+            )
+
+    if args.health_port:
+        _, hp = start_health_server(metrics, args.host, args.health_port)
+        print(f"health/metrics on {args.host}:{hp}", file=sys.stderr)
+
+    threads = []
+    if args.ws_port:
+        threads.append(threading.Thread(
+            target=serve_ws_tcp, args=(make_session, args.host, args.ws_port),
+            kwargs={"pool": pool}, daemon=True))
+    if args.rpc_port:
+        from obs_rvc_tpu.serve.rpc import serve_tcp as rpc_serve_tcp
+        from obs_rvc_tpu.stream.engine import RvcEngine
+
+        engine = RvcEngine(pipe, params)
+        threads.append(threading.Thread(
+            target=rpc_serve_tcp, args=(engine, args.host, args.rpc_port), daemon=True))
+    for t in threads:
+        t.start()
+
+    if args.port:
+        serve_tcp(make_session, args.host, args.port, pool=pool)  # blocks
+    else:
+        for t in threads:
+            t.join()
+
+
+if __name__ == "__main__":
+    main()

@@ -49,31 +49,60 @@ def _read_exact(f: BinaryIO, n: int) -> bytes:
     return buf
 
 
+def encode_audio_message(frame: np.ndarray) -> bytes:
+    frame = np.ascontiguousarray(frame, dtype="<f4")
+    return bytes([TAG_AUDIO]) + struct.pack("<I", frame.size) + frame.tobytes()
+
+
+def handle_message(session, payload: bytes) -> tuple[bytes | None, bool]:
+    """Process one tag-framed protocol message against a session. Returns
+    ``(reply bytes or None, closed)``. Shared by the raw-TCP byte-stream
+    loop and the WebSocket front door (serve.ws), which differ only in
+    transport framing."""
+    tag = payload[0]
+    if tag == TAG_AUDIO:
+        (n,) = struct.unpack("<I", payload[1:5])
+        frame = np.frombuffer(payload[5 : 5 + 4 * n], dtype="<f4")
+        session.push_audio(frame)
+        out = session.pull_audio(n)
+        return encode_audio_message(out), False
+    if tag == TAG_CONTROL:
+        (ln,) = struct.unpack("<I", payload[1:5])
+        session.update_controls(**json.loads(payload[5 : 5 + ln]))
+        return None, False
+    if tag == TAG_CLOSE:
+        return None, True
+    raise ValueError(f"unknown tag {tag}")
+
+
+def read_message(rin: BinaryIO) -> bytes:
+    """Read one tag-framed message off a byte stream (raises EOFError)."""
+    head = _read_exact(rin, 1)
+    tag = head[0]
+    if tag == TAG_CLOSE:
+        return head
+    if tag in (TAG_AUDIO, TAG_CONTROL):
+        ln_raw = _read_exact(rin, 4)
+        (n,) = struct.unpack("<I", ln_raw)
+        body = _read_exact(rin, 4 * n if tag == TAG_AUDIO else n)
+        return head + ln_raw + body
+    raise ValueError(f"unknown tag {tag}")
+
+
 def serve_connection(session: StreamSession, rin: BinaryIO, rout: BinaryIO) -> None:
     session.start()
     try:
         while True:
             try:
-                tag = _read_exact(rin, 1)[0]
+                msg = read_message(rin)
             except EOFError:
                 return
-            if tag == TAG_AUDIO:
-                (n,) = struct.unpack("<I", _read_exact(rin, 4))
-                frame = np.frombuffer(_read_exact(rin, 4 * n), dtype="<f4")
-                session.push_audio(frame)
-                out = session.pull_audio(n)
-                rout.write(bytes([TAG_AUDIO]))
-                rout.write(struct.pack("<I", out.size))
-                rout.write(np.ascontiguousarray(out, dtype="<f4").tobytes())
+            reply, closed = handle_message(session, msg)
+            if reply is not None:
+                rout.write(reply)
                 rout.flush()
-            elif tag == TAG_CONTROL:
-                (ln,) = struct.unpack("<I", _read_exact(rin, 4))
-                updates = json.loads(_read_exact(rin, ln))
-                session.update_controls(**updates)
-            elif tag == TAG_CLOSE:
+            if closed:
                 return
-            else:
-                raise ValueError(f"unknown tag {tag}")
     finally:
         session.stop()
 

@@ -402,6 +402,14 @@ class RvcPipeline:
         return self._make_staged_jits(batched=False)
 
     @functools.cached_property
+    def _staged_jits_donated(self):
+        """Single-stream stage jits with state buffers donated (old ring /
+        cache / SOLA buffers alias the new ones in-place). Only safe when the
+        caller discards the pre-step state afterwards — the StreamSession
+        does; the pool does NOT (its masked merge reads the old state)."""
+        return self._make_staged_jits(batched=False, donate=True)
+
+    @functools.cached_property
     def _staged_jits_batch(self):
         return self._make_staged_jits(batched=True)
 
@@ -423,7 +431,7 @@ class RvcPipeline:
         pitch, pitchf = get_f0_post(pitchf)
         return cache, pitch, pitchf
 
-    def _make_staged_jits(self, batched: bool):
+    def _make_staged_jits(self, batched: bool, donate: bool = False):
         stages = {
             "pre": self._stage_pre,
             "features": self._stage_features,
@@ -444,7 +452,18 @@ class RvcPipeline:
                 "post": (0, 0, 0, 0),
             }
             stages = {k: jax.vmap(f, in_axes=axes[k]) for k, f in stages.items()}
-        return {k: jax.jit(f) for k, f in stages.items()}
+        # donation map: only buffers that die with the pre-step state —
+        # pre's old rings (→ new rings), pitch_post's old cache (→ new
+        # cache), post's model_out + old sola tail (→ emitted + new tail).
+        # ``buf``/``buf16`` are NOT donatable in post/features/mel: they live
+        # on as the new state's ring buffers.
+        donate_argnums = {
+            "pre": (0, 1), "pitch_post": (0,), "post": (1, 2),
+        } if donate else {}
+        return {
+            k: jax.jit(f, donate_argnums=donate_argnums.get(k, ()))
+            for k, f in stages.items()
+        }
 
     def staged_step(
         self,
@@ -454,11 +473,42 @@ class RvcPipeline:
         controls: StepControls,
         rnd: Optional[jnp.ndarray] = None,
         batched: bool = False,
+        stage_times: Optional[dict] = None,
+        donate: bool = False,
     ) -> tuple[StreamState, jnp.ndarray]:
         """Same contract as :meth:`step` (or the vmapped batch step when
-        ``batched``), host-orchestrated across the seven stage executables."""
+        ``batched``), host-orchestrated across the seven stage executables.
+
+        ``stage_times``: pass a dict to collect per-stage wall ms into it
+        (each stage is then synchronized with ``block_until_ready`` — use for
+        diagnostics, not peak throughput; async dispatch pipelining is lost).
+
+        ``donate``: donate the pre-step state's buffers into the new state
+        (single-stream only). The caller must discard ``state`` afterwards.
+        """
         cfg = self.cfg
-        j = self._staged_jits_batch if batched else self._staged_jits
+        if batched:
+            j = self._staged_jits_batch
+        else:
+            j = self._staged_jits_donated if donate else self._staged_jits
+        if stage_times is not None:
+            import time as _time
+
+            raw = j
+
+            class _Timed:
+                def __getitem__(_self, name):
+                    fn = raw[name]
+
+                    def run(*args):
+                        t0 = _time.perf_counter()
+                        out = jax.block_until_ready(fn(*args))
+                        stage_times[name] = (_time.perf_counter() - t0) * 1000.0
+                        return out
+
+                    return run
+
+            j = _Timed()
         buf, buf16 = j["pre"](state.input_buffer_16k, state.input_buffer, chunk)
         if cfg.skip_inference:
             model_out = buf16[..., -cfg.model_return_size :]

@@ -47,10 +47,19 @@ class StreamPool:
         capacity: int = 8,
         input_capacity_chunks: int = 8,
         output_capacity_chunks: int = 12,
+        batch_min: int = 1,
+        batch_deadline_ms: float = 30.0,
     ):
         self.pipeline = pipeline
         self.params = params
         self.capacity = capacity
+        #: tick gating: step when ``>= min(batch_min, n_active)`` slots have a
+        #: full chunk, or the first-ready slot has waited ``batch_deadline_ms``
+        #: — trades a bounded latency add for batching efficiency (the batched
+        #: step costs ~the same whether 1 or 8 slots carry real audio).
+        self.batch_min = batch_min
+        self.batch_deadline_ms = batch_deadline_ms
+        self._ready_since: Optional[float] = None
         cfg = pipeline.cfg
         self._chunk = cfg.sample_frame_size
 
@@ -124,6 +133,34 @@ class StreamPool:
 
     # --- batched worker ---
 
+    def ready_slots(self) -> tuple[int, int]:
+        """``(n_ready, n_active)`` — active slots with a full input chunk."""
+        with self._lock:
+            flags = [
+                (self._active[i], self._in[i].available() >= self._chunk)
+                for i in range(self.capacity)
+            ]
+        n_active = sum(a for a, _ in flags)
+        n_ready = sum(a and r for a, r in flags)
+        return n_ready, n_active
+
+    def should_step(self, now: Optional[float] = None) -> bool:
+        """Tick gate: enough ready slots to batch efficiently, or the first
+        ready chunk has aged past ``batch_deadline_ms``."""
+        import time
+
+        n_ready, n_active = self.ready_slots()
+        if n_ready == 0:
+            self._ready_since = None
+            return False
+        if now is None:
+            now = time.monotonic()
+        if self._ready_since is None:
+            self._ready_since = now
+        if n_ready >= min(self.batch_min, max(n_active, 1)):
+            return True
+        return (now - self._ready_since) * 1000.0 >= self.batch_deadline_ms
+
     def process_pending(self) -> int:
         """One batched step when at least one active slot has a full chunk.
 
@@ -148,6 +185,7 @@ class StreamPool:
                 have[i] = True
         if not have.any():
             return 0
+        self._ready_since = None
 
         controls = jax.tree.map(lambda *xs: jnp.stack(xs), *controls_snap)
         failed = False
@@ -190,9 +228,16 @@ class StreamPool:
 
     def _loop(self) -> None:
         while self._running:
-            if self.process_pending() == 0:
-                self._wake.wait(timeout=1.0)
-                self._wake.clear()
+            if self.should_step():
+                if self.process_pending():
+                    continue
+            # not enough ready slots yet: sleep until more audio arrives or
+            # (if something is already waiting) the batching deadline
+            timeout = 1.0
+            if self._ready_since is not None:
+                timeout = max(self.batch_deadline_ms / 1000.0 / 4, 0.001)
+            self._wake.wait(timeout=timeout)
+            self._wake.clear()
 
     def start(self) -> None:
         if self._thread is None:

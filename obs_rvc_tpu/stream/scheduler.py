@@ -43,18 +43,27 @@ class StreamSession:
         input_capacity_chunks: int = 8,
         output_capacity_chunks: int = 12,
         mode: str = "staged",
+        stage_timing: bool = False,
+        metrics: Optional[ChunkMetrics] = None,
     ):
         self.pipeline = pipeline
         self.params = params
         self.controls = controls if controls is not None else StepControls.default()
         #: "staged" (default; robust compile, per-stage programs) or "fused"
         self.mode = mode
+        #: collect per-stage wall times into metrics (staged mode only;
+        #: forces per-stage sync — diagnostics, not peak throughput)
+        self.stage_timing = stage_timing
         cfg = pipeline.cfg
         self._chunk = cfg.sample_frame_size
         self._in = make_ring_buffer(self._chunk * input_capacity_chunks)
         self._out = make_ring_buffer(self._chunk * output_capacity_chunks)
         self.state = StreamState.init(cfg)
-        self.metrics = ChunkMetrics(chunk_seconds=cfg.latency_seconds)
+        #: pass a shared ChunkMetrics to aggregate several sessions into one
+        #: scrape target (serve.server per-connection mode)
+        self.metrics = metrics if metrics is not None else ChunkMetrics(
+            chunk_seconds=cfg.latency_seconds
+        )
 
         self._running = False
         self._thread: Optional[threading.Thread] = None
@@ -93,12 +102,20 @@ class StreamSession:
                 break
             with self.metrics.time_chunk():
                 try:
-                    step = (
-                        self.pipeline.staged_step
-                        if self.mode == "staged"
-                        else self.pipeline.jit_step
-                    )
-                    self.state, out = step(self.params, self.state, chunk, self.controls)
+                    if self.mode == "staged":
+                        stage_times = {} if self.stage_timing else None
+                        # the session always discards the pre-step state, so
+                        # its buffers are donated (in-place ring/cache reuse)
+                        self.state, out = self.pipeline.staged_step(
+                            self.params, self.state, chunk, self.controls,
+                            stage_times=stage_times, donate=True,
+                        )
+                        if stage_times:
+                            self.metrics.record_stages(stage_times)
+                    else:
+                        self.state, out = self.pipeline.jit_step(
+                            self.params, self.state, chunk, self.controls
+                        )
                     out = np.asarray(jax.block_until_ready(out))
                 except Exception:
                     # engine failure → silence chunk + state reset, logged and

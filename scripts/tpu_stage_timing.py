@@ -30,6 +30,39 @@ def bench(name, fn, *args):
     return out
 
 
+def loop_bench(name, op, x, iters=100, params=None):
+    """Amortized device-side cost of ``op(x)`` (or ``op(params, x)``): K
+    dependency-chained iterations inside ONE executable, so the ~29 ms tunnel
+    RTT is paid once. The carried perturbation (x + sum(y)*1e-30) defeats
+    CSE/DCE without changing the math's cost profile. ``params`` rides as a
+    real jit argument — closure capture would bake weights into the program
+    as constants and blow the remote-compile request-size limit (HTTP 413)."""
+    import jax.numpy as jnp
+
+    def run(p, x0):
+        def body(i, carry):
+            y = op(carry) if p is None else op(p, carry)
+            return carry + jnp.sum(y).astype(carry.dtype) * 1e-30
+
+        return jax.lax.fori_loop(0, iters, body, x0)
+
+    fn = jax.jit(run)
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(params, x))
+    compile_s = time.perf_counter() - t0
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        jax.block_until_ready(fn(params, x))
+    total_ms = (time.perf_counter() - t0) / reps * 1000
+    per_ms = total_ms / iters
+    print(
+        f"{name:12s} compile {compile_s:7.1f}s   {per_ms*1000:8.1f} us/op"
+        f"   (loop {total_ms:.1f} ms / {iters})",
+        flush=True,
+    )
+
+
 def main():
     cfg = StreamSettings().chunk_config(48000)
     pipe = RvcPipeline(cfg, compute_dtype=jnp.bfloat16)
@@ -78,14 +111,12 @@ def main():
         bench("dsp", jax.jit(dsp_fn), buf, model_out, sola_buf)
 
     if "dspsub" in STAGES:
-        # per-op breakdown of the DSP block (roofline-gap hunt)
+        # per-op breakdown of the DSP block (roofline-gap hunt), amortized
+        # over a fori_loop so the tunnel RTT doesn't swamp sub-ms ops
         from obs_rvc_tpu.dsp import envelope_mixing, resample_poly, sola_crossfade, sola_offset
 
         rng2 = np.random.default_rng(1)
         buf = jnp.asarray(rng2.standard_normal(cfg.input_buffer_size).astype(np.float32) * 0.1)
-        model_out = jnp.asarray(
-            rng2.standard_normal(cfg.model_return_size).astype(np.float32) * 0.1
-        )
         out48 = jnp.asarray(
             rng2.standard_normal(
                 cfg.model_return_size * cfg.sample_rate // cfg.model_sample_rate
@@ -96,18 +127,75 @@ def main():
         )
         window = jnp.asarray(rng2.standard_normal(cfg.downsample_window).astype(np.float32))
 
-        bench("resamp_down", jax.jit(lambda x: resample_poly(x, cfg.sample_rate, 16000)), window)
-        bench("resamp_up", jax.jit(
-            lambda x: resample_poly(x, cfg.model_sample_rate, cfg.sample_rate)), model_out)
-        bench("envelope", jax.jit(
-            lambda b, o: envelope_mixing(b[cfg.extra_frame_size:], o, cfg.sample_rate, 0.5)),
-            buf, out48)
-        bench("sola_offset", jax.jit(
-            lambda o, s: sola_offset(o, s, cfg.sola_buffer_frame_size,
-                                     cfg.sola_search_frame_size)), out48, sola_buf)
-        bench("sola_xfade", jax.jit(
-            lambda o, s: sola_crossfade(o, s, jnp.int32(17), pipe._fade_in, pipe._fade_out,
-                                        cfg.sample_frame_size)), out48, sola_buf)
+        loop_bench("resamp_down", lambda x: resample_poly(x, cfg.sample_rate, 16000), window)
+        loop_bench(
+            "resamp_up",
+            lambda x: resample_poly(
+                x[: cfg.model_return_size], cfg.model_sample_rate, cfg.sample_rate
+            ),
+            out48,
+        )
+        loop_bench(
+            "envelope",
+            lambda o: envelope_mixing(buf[cfg.extra_frame_size :], o, cfg.sample_rate, 0.5),
+            out48,
+        )
+        loop_bench(
+            "sola_offset",
+            lambda o: sola_offset(
+                o, sola_buf, cfg.sola_buffer_frame_size, cfg.sola_search_frame_size
+            ).astype(jnp.float32)[None],
+            out48,
+        )
+        loop_bench(
+            "sola_xfade",
+            lambda o: jnp.concatenate(
+                sola_crossfade(
+                    o, sola_buf, jnp.int32(17), pipe._fade_in, pipe._fade_out,
+                    cfg.sample_frame_size,
+                )
+            ),
+            out48,
+        )
+
+    if "netsub" in STAGES:
+        # amortized per-net cost (dependency-chained fori_loop, one dispatch)
+        mel = jnp.asarray(
+            np.random.default_rng(2).standard_normal((1, 128, cfg.rmvpe_n_frames))
+            .astype(np.float32)
+        )
+        T = cfg.return_length
+        phone = jnp.asarray(
+            np.random.default_rng(3).standard_normal((1, T, pipe.synth_cfg.feature_dim))
+            .astype(np.float32) * 0.1
+        )
+        pitch = jnp.ones((1, T), jnp.int32)
+        pitchf = jnp.full((1, T), 220.0)
+        sid = jnp.zeros((1,), jnp.int32)
+
+        loop_bench(
+            "contentvec",
+            lambda p, x: pipe.contentvec.apply(p, x),
+            buf16[None],
+            iters=20,
+            params=params["contentvec"],
+        )
+        loop_bench(
+            "rmvpe",
+            lambda p, m: pipe.rmvpe.apply(p, m),
+            mel,
+            iters=20,
+            params=params["rmvpe"],
+        )
+        loop_bench(
+            "synth",
+            lambda pr, p: pipe.synthesizer.apply(pr, p, pitch, pitchf, sid).astype(
+                jnp.float32
+            ),
+            phone,
+            iters=20,
+            params=params["synthesizer"],
+        )
 
     if "pre" in STAGES:
         state = StreamState.init(cfg)

@@ -262,3 +262,29 @@ def test_pitch_cache_multi_chunk_simulation():
 
         np.testing.assert_array_equal(np.asarray(cache_jx), cache_np)
         np.testing.assert_array_equal(got_slice, want_slice)
+
+
+def test_staged_step_donated_matches_plain():
+    """Donated stage jits (session fast path) are bit-identical to the
+    non-donating ones across a multi-chunk run."""
+    cfg = small_cfg()
+    pipe = RvcPipeline(cfg, RvcModelVersion.V2)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    controls = StepControls.default(pitch_shift=3.0, rms_mix_rate=0.6)
+    rng = np.random.default_rng(11)
+    chunks = [
+        jnp.asarray(rng.standard_normal(cfg.sample_frame_size).astype(np.float32) * 0.1)
+        for _ in range(3)
+    ]
+
+    s_a, s_b = StreamState.init(cfg), StreamState.init(cfg)
+    for chunk in chunks:
+        s_a, out_a = pipe.staged_step(params, s_a, chunk, controls)
+        s_b, out_b = pipe.staged_step(params, s_b, chunk, controls, donate=True)
+        np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+    np.testing.assert_array_equal(
+        np.asarray(s_a.cache_pitchf), np.asarray(s_b.cache_pitchf)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_a.input_buffer_16k), np.asarray(s_b.input_buffer_16k)
+    )

@@ -481,3 +481,181 @@ def test_stream_pool_attach_detach_hammer():
         t.join(timeout=10)
     assert not errors
     assert pool.metrics.errors == 0
+
+
+def test_stream_session_stage_timing_metrics():
+    """stage_timing=True surfaces per-stage p50 wall times in the metrics
+    snapshot (the reference's per-session stage timers, rvc.rs:217)."""
+    cfg = small_cfg(skip_inference=True)
+    sess = StreamSession(RvcPipeline(cfg), params={}, stage_timing=True)
+    for _ in range(3):
+        sess.push_audio(np.zeros(cfg.sample_frame_size, np.float32))
+        sess.process_pending()
+    snap = sess.metrics.snapshot()
+    # passthrough geometry still runs pre + post
+    assert set(snap.stage_p50_ms) == {"pre", "post"}
+    assert all(v >= 0.0 for v in snap.stage_p50_ms.values())
+    assert "stage_p50_ms" in snap.as_dict()
+
+
+def test_stream_pool_batching_gate():
+    """should_step waits for batch_min ready slots, then fires; a lone ready
+    slot fires once its wait exceeds batch_deadline_ms."""
+    from obs_rvc_tpu.stream import StreamPool
+
+    cfg = small_cfg(skip_inference=True)
+    pool = StreamPool(
+        RvcPipeline(cfg), params={}, capacity=4, batch_min=2, batch_deadline_ms=50.0
+    )
+    a = pool.attach()
+    b = pool.attach()
+    assert not pool.should_step(now=0.0)  # nothing ready
+
+    pool.push_audio(a, np.zeros(cfg.sample_frame_size, np.float32))
+    assert not pool.should_step(now=0.0)      # 1 ready < batch_min
+    assert not pool.should_step(now=0.040)    # still under deadline
+    assert pool.should_step(now=0.060)        # deadline exceeded -> fire
+
+    # second ready slot satisfies batch_min immediately
+    pool.push_audio(b, np.zeros(cfg.sample_frame_size, np.float32))
+    assert pool.should_step(now=0.061)
+    assert pool.process_pending() == 2
+    # consumed: gate resets
+    assert not pool.should_step(now=0.062)
+
+
+def test_stream_pool_batch_min_capped_by_active():
+    """batch_min larger than the active-slot count must not deadlock."""
+    from obs_rvc_tpu.stream import StreamPool
+
+    cfg = small_cfg(skip_inference=True)
+    pool = StreamPool(RvcPipeline(cfg), params={}, capacity=4, batch_min=8)
+    s = pool.attach()
+    pool.push_audio(s, np.zeros(cfg.sample_frame_size, np.float32))
+    assert pool.should_step(now=0.0)  # min(batch_min, n_active) == 1
+
+
+# ---------- WebSocket front door ----------
+
+def test_ws_accept_key_rfc_vector():
+    from obs_rvc_tpu.serve.ws import ws_accept_key
+
+    # RFC 6455 §1.3 worked example
+    assert ws_accept_key("dGhlIHNhbXBsZSBub25jZQ==") == "s3pPLMBiTxaQ9kYGzzhZRbK+xOo="
+
+
+def test_ws_frame_roundtrip_all_length_classes():
+    import io
+
+    from obs_rvc_tpu.serve.ws import OP_BINARY, read_frame, write_frame
+
+    for size in (0, 1, 125, 126, 65535, 65536):
+        for mask in (False, True):
+            buf = io.BytesIO()
+            payload = bytes(i % 251 for i in range(size))
+            write_frame(buf, OP_BINARY, payload, mask=mask)
+            buf.seek(0)
+            op, got = read_frame(buf)
+            assert op == OP_BINARY and got == payload, (size, mask)
+
+
+def test_ws_fragmented_message_reassembly():
+    import io
+
+    from obs_rvc_tpu.serve.ws import OP_BINARY, read_frame
+
+    # text/binary message split across a non-FIN first frame + continuation
+    buf = io.BytesIO()
+    buf.write(bytes([0x02, 3]) + b"abc")        # FIN=0, opcode=binary
+    buf.write(bytes([0x80, 3]) + b"def")        # FIN=1, opcode=continuation
+    buf.seek(0)
+    op, got = read_frame(buf)
+    assert op == OP_BINARY and got == b"abcdef"
+
+
+def test_ws_duplex_tone_and_controls():
+    """End-to-end over a real socket: handshake, masked frames, audio tone
+    through the passthrough pipeline, live control update, clean close."""
+    import socket as socket_mod
+    import threading
+    import time as time_mod
+
+    from obs_rvc_tpu.serve.ws import WsStreamClient, serve_ws_connection, server_handshake
+
+    cfg = small_cfg(skip_inference=True)
+    pipe = RvcPipeline(cfg)
+    from obs_rvc_tpu.stream import StepControls, StreamState
+    import jax.numpy as jnp
+
+    pipe.jit_step({}, StreamState.init(cfg), jnp.zeros(cfg.sample_frame_size),
+                  StepControls.default())
+    session = StreamSession(pipe, params={})
+
+    server_sock, client_sock = socket_mod.socketpair()
+
+    def serve():
+        with server_sock, server_sock.makefile("rb") as rin, server_sock.makefile("wb") as rout:
+            server_handshake(rin, rout)
+            serve_ws_connection(session, rin, rout)
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    from obs_rvc_tpu.serve.ws import client_handshake
+
+    rin, rout = client_sock.makefile("rb"), client_sock.makefile("wb")
+    client_handshake(rin, rout, "test")
+    client = WsStreamClient(rin, rout)
+    client.update_controls(pitch_shift=2.0)
+
+    sr, f = 48000, 440.0
+    n = 6 * cfg.sample_frame_size
+    wav = np.sin(2 * np.pi * f * np.arange(n) / sr).astype(np.float32)
+    out, total, frame = [], 0, 2400
+    for i in range(0, n, frame):
+        got = client.send_audio(wav[i : i + frame])
+        out.append(got)
+        total += got.size
+        time_mod.sleep(0.002)
+    deadline = time_mod.time() + 60
+    while total < 4 * cfg.sample_frame_size and time_mod.time() < deadline:
+        got = client.send_audio(np.zeros(frame, np.float32))
+        out.append(got)
+        total += got.size
+        time_mod.sleep(0.01)
+    client.close()
+    t.join(timeout=10)
+
+    got = np.concatenate(out)
+    assert got.size >= 4 * cfg.sample_frame_size
+    tail = got[2 * cfg.sample_frame_size : 4 * cfg.sample_frame_size]
+    spec = np.abs(np.fft.rfft(tail * np.hanning(tail.size)))
+    peak_hz = np.argmax(spec) * sr / tail.size
+    assert abs(peak_hz - f) < 7.0
+    assert float(session.controls.pitch_shift) == 2.0
+
+
+def test_ws_rejects_non_upgrade_request():
+    import io
+
+    from obs_rvc_tpu.serve.ws import server_handshake
+
+    rin = io.BytesIO(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
+    rout = io.BytesIO()
+    with pytest.raises(ValueError):
+        server_handshake(rin, rout)
+    assert rout.getvalue().startswith(b"HTTP/1.1 400")
+
+
+def test_server_entry_builds_pipeline_from_flags():
+    from obs_rvc_tpu.serve.server import build_parser, build_pipeline
+
+    args = build_parser().parse_args(
+        ["--skip-inference", "--pitch-shift", "4", "--loudness-factor", "0.7",
+         "--sample-length", "0.10", "--extra-inference-time", "0.5",
+         "--dtype", "float32"]
+    )
+    pipe, params, controls = build_pipeline(args)
+    assert pipe.cfg.skip_inference
+    assert float(controls.pitch_shift) == 4.0
+    assert abs(float(controls.rms_mix_rate) - 0.7) < 1e-6
