@@ -31,8 +31,21 @@ def rms_envelope(y: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndar
 def linear_interpolate_align_corners(x: jnp.ndarray, size: int) -> jnp.ndarray:
     """1-D align-corners linear interpolation to ``size`` points
     (``rt_utils.rs:104-117``; matches
-    ``torch.nn.functional.interpolate(mode='linear', align_corners=True)``)."""
+    ``torch.nn.functional.interpolate(mode='linear', align_corners=True)``).
+
+    When the upsample factor is integral (the streaming case: ``n_frames →
+    per-sample``, factor = hop), this lowers as a broadcasted segment ramp —
+    NO gather. The general-``size`` gather path is kept as fallback, but a
+    many-thousand-index gather is pathological for the TPU compiler
+    (observed: 500-800 s compiles that also degrade the remote-compile
+    session afterwards; the ramp form compiles in <1 s)."""
     n = x.shape[0]
+    if n >= 2 and (size - 1) % (n - 1) == 0:
+        r = (size - 1) // (n - 1)
+        ramp = jnp.arange(r, dtype=jnp.float32) / jnp.float32(r)
+        d = x[1:] - x[:-1]
+        segs = x[:-1, None] + d[:, None] * ramp[None, :]  # [n-1, r]
+        return jnp.concatenate([segs.reshape(-1), x[-1:]])
     step = (n - 1) / (size - 1)
     pos = jnp.arange(size, dtype=jnp.float32) * jnp.float32(step)
     lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 1)

@@ -15,6 +15,7 @@ Replaces the reference's three ONNXRuntime sessions
 
 from obs_rvc_tpu.models.contentvec import ContentVec, ContentVecConfig
 from obs_rvc_tpu.models.rmvpe import RMVPE, RMVPEConfig
+from obs_rvc_tpu.models.crepe import Crepe, CrepeConfig
 from obs_rvc_tpu.models.synthesizer import Synthesizer, SynthesizerConfig
 
 __all__ = [
@@ -22,6 +23,8 @@ __all__ = [
     "ContentVecConfig",
     "RMVPE",
     "RMVPEConfig",
+    "Crepe",
+    "CrepeConfig",
     "Synthesizer",
     "SynthesizerConfig",
 ]

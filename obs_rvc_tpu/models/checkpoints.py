@@ -50,6 +50,13 @@ def load_rmvpe_params(path: str | pathlib.Path) -> dict:
     return W.convert_rmvpe(sd)
 
 
+def load_crepe_params(path: str | pathlib.Path) -> dict:
+    """torchcrepe .pth (plain state dict) → Crepe variables."""
+    ckpt = _load_state_dict(path)
+    sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    return W.convert_crepe(sd)
+
+
 def load_synthesizer_params(path: str | pathlib.Path) -> tuple[dict, dict]:
     """RVC ``.pth`` → (Synthesizer variables, metadata). Metadata includes
     ``sr`` / ``f0`` / ``version`` when the checkpoint carries them (the small
@@ -132,6 +139,7 @@ def load_pipeline_params(
     pipeline,
     contentvec_path: Optional[str] = None,
     rmvpe_path: Optional[str] = None,
+    crepe_path: Optional[str] = None,
     synthesizer_path: Optional[str] = None,
     index_path: Optional[str] = None,
     rng: Optional[jax.Array] = None,
@@ -157,6 +165,11 @@ def load_pipeline_params(
         if strict_shapes:
             W.assert_tree_shapes_match(conv, params["rmvpe"])
         params["rmvpe"] = conv
+    if crepe_path:
+        conv = load_crepe_params(crepe_path)
+        if strict_shapes:
+            W.assert_tree_shapes_match(conv, params["crepe"])
+        params["crepe"] = conv
     if synthesizer_path:
         conv, _meta = load_synthesizer_params(synthesizer_path)
         if strict_shapes:

@@ -288,6 +288,43 @@ def convert_rmvpe(state_dict: Mapping[str, Any], n_blocks: int = 4, en_de_layers
     return {"params": params, "batch_stats": stats}
 
 
+def convert_crepe(state_dict: Mapping[str, Any]) -> dict:
+    """torchcrepe ``Crepe`` checkpoint → Crepe variables (params+batch_stats).
+
+    torchcrepe names: ``conv1..conv6`` (Conv2d, kernel [out,in,k,1]),
+    ``conv{i}_BN`` (BatchNorm2d), ``classifier`` (Linear). The conv is over
+    the frame/time axis only (W is singleton), so it converts to a 1-D
+    kernel ``[k, in, out]``.
+    """
+    sd = dict(state_dict)
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+    for i in range(1, 7):
+        w = _np(sd[f"conv{i}.weight"])  # [out, in, k, 1]
+        params[f"conv{i}"] = {
+            "kernel": np.transpose(w[:, :, :, 0], (2, 1, 0)),
+            "bias": _np(sd[f"conv{i}.bias"]),
+        }
+        params[f"bn{i}"], stats[f"bn{i}"] = batch_norm(sd, f"conv{i}_BN")
+    params["classifier"] = linear(sd, "classifier")
+    return {"params": params, "batch_stats": stats}
+
+
+def export_crepe(variables: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    """Inverse of :func:`convert_crepe` (torchcrepe state-dict layout)."""
+    p = variables["params"]
+    s = variables["batch_stats"]
+    out: dict[str, np.ndarray] = {}
+    for i in range(1, 7):
+        out[f"conv{i}.weight"] = np.transpose(np.asarray(p[f"conv{i}"]["kernel"]), (2, 1, 0))[
+            :, :, :, None
+        ]
+        out[f"conv{i}.bias"] = np.asarray(p[f"conv{i}"]["bias"])
+        _exp_bn(out, f"conv{i}_BN", p[f"bn{i}"], s[f"bn{i}"])
+    _exp_linear(out, "classifier", p["classifier"])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # RVC synthesizer
 # ---------------------------------------------------------------------------

@@ -27,11 +27,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", help="RVC synthesizer .pth (random init if omitted)")
     p.add_argument("--contentvec", help="ContentVec/HuBERT .pt checkpoint")
     p.add_argument("--rmvpe", help="RMVPE .pt checkpoint")
+    p.add_argument("--crepe", help="torchcrepe .pth checkpoint (pitch-algorithm crepe)")
     p.add_argument("--index", help="faiss .index / .npy feature table")
     # the 13 settings
     p.add_argument("--model-version", default="v2", choices=["v1", "v2"])
     p.add_argument("--dest-sample-rate", type=int, default=40000)
-    p.add_argument("--pitch-algorithm", default="rmvpe", choices=["rmvpe"])
+    p.add_argument("--pitch-algorithm", default="rmvpe", choices=["rmvpe", "crepe"])
     p.add_argument("--pitch-shift", type=float, default=0.0)
     p.add_argument("--resonance-shift", type=float, default=0.0)
     p.add_argument("--index-rate", type=float, default=0.0)
@@ -86,11 +87,14 @@ def main(argv=None) -> None:
         f0_median_radius=args.f0_median_radius,
         retrieval_index=RetrievalIndex() if args.index else None,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        pitch_algorithm=args.pitch_algorithm,
+        keyshift=int(round(args.resonance_shift)),
     )
     params = load_pipeline_params(
         pipe,
         contentvec_path=args.contentvec,
         rmvpe_path=args.rmvpe,
+        crepe_path=args.crepe,
         synthesizer_path=args.model,
         index_path=args.index,
     )

@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rmvpe")
     p.add_argument("--index")
     p.add_argument("--model-version", default="v2", choices=["v1", "v2"])
+    p.add_argument("--pitch-algorithm", default="rmvpe", choices=["rmvpe", "crepe"])
+    p.add_argument("--crepe")
     p.add_argument("--dest-sample-rate", type=int, default=40000)
     p.add_argument("--pitch-shift", type=float, default=0.0)
     p.add_argument("--resonance-shift", type=float, default=0.0)
@@ -87,11 +89,14 @@ def build_pipeline(args):
         settings.model_version,
         retrieval_index=RetrievalIndex() if args.index else None,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        pitch_algorithm=args.pitch_algorithm,
+        keyshift=int(round(args.resonance_shift)),
     )
     params = load_pipeline_params(
         pipe,
         contentvec_path=args.contentvec,
         rmvpe_path=args.rmvpe,
+        crepe_path=args.crepe,
         synthesizer_path=args.model,
         index_path=args.index,
     )

@@ -51,6 +51,7 @@ from obs_rvc_tpu.models import (
     Synthesizer,
     SynthesizerConfig,
 )
+from obs_rvc_tpu.models.crepe import Crepe, CrepeConfig, extract_crepe_frames
 from obs_rvc_tpu.models.contentvec import extract_feature, feature_frames
 from obs_rvc_tpu.stream.state import StreamState
 
@@ -116,6 +117,8 @@ class RvcPipeline:
         contentvec_cfg: Optional[ContentVecConfig] = None,
         rmvpe_cfg: Optional[RMVPEConfig] = None,
         synth_cfg: Optional[SynthesizerConfig] = None,
+        pitch_algorithm: str = "rmvpe",
+        crepe_cfg: Optional[CrepeConfig] = None,
     ):
         self.cfg = cfg
         self.version = version
@@ -127,6 +130,14 @@ class RvcPipeline:
         self.keyshift = keyshift
         #: phase-corrected SOLA crossfade (the reference's lib.rs:778 TODO)
         self.phase_vocoder = phase_vocoder
+        #: "rmvpe" (reference parity) or "crepe" (upstream-RVC extra; the
+        #: Rust reference has RMVPE only) — both decode on the same
+        #: 360-bin/20-cent grid and share the hop-160 pitch-cache geometry
+        if pitch_algorithm not in ("rmvpe", "crepe"):
+            raise ValueError(f"unknown pitch_algorithm {pitch_algorithm!r}")
+        if pitch_algorithm == "crepe" and keyshift:
+            raise ValueError("resonance shift (mel keyshift) requires pitch_algorithm='rmvpe'")
+        self.pitch_algorithm = pitch_algorithm
 
         if contentvec_cfg is None:
             contentvec_cfg = (
@@ -145,6 +156,10 @@ class RvcPipeline:
 
         self.contentvec = ContentVec(self.contentvec_cfg)
         self.rmvpe = RMVPE(self.rmvpe_cfg)
+        self.crepe_cfg = dataclasses.replace(
+            crepe_cfg if crepe_cfg is not None else CrepeConfig(), dtype=compute_dtype
+        )
+        self.crepe = Crepe(self.crepe_cfg)
         self.synthesizer = Synthesizer(self.synth_cfg)
         self.mel = MelSpectrogram()
 
@@ -170,17 +185,22 @@ class RvcPipeline:
         cfg = self.cfg
         r1, r2, r3 = jax.random.split(rng, 3)
         wav16 = jnp.zeros((1, cfg.input_buffer_16k_size))
-        mel = jnp.zeros((1, 128, cfg.rmvpe_n_frames))
         T = cfg.return_length
         phone = jnp.zeros((1, T, self.synth_cfg.feature_dim))
         pitch = jnp.ones((1, T), jnp.int32)
         pitchf = jnp.zeros((1, T))
         sid = jnp.zeros((1,), jnp.int32)
-        return {
+        out = {
             "contentvec": self.contentvec.init(r1, wav16),
-            "rmvpe": self.rmvpe.init(r2, mel),
             "synthesizer": self.synthesizer.init(r3, phone, pitch, pitchf, sid),
         }
+        if self.pitch_algorithm == "crepe":
+            frames = jnp.zeros((cfg.rmvpe_n_frames, 1024))
+            out["crepe"] = self.crepe.init(r2, frames)
+        else:
+            mel = jnp.zeros((1, 128, cfg.rmvpe_n_frames))
+            out["rmvpe"] = self.rmvpe.init(r2, mel)
+        return out
 
     def init_params_fast(self, seed: int = 0) -> dict:
         """Compile-free random init: shapes via ``jax.eval_shape`` (pure
@@ -201,11 +221,15 @@ class RvcPipeline:
         rng = jax.random.PRNGKey(0)
         shapes = {
             "contentvec": jax.eval_shape(self.contentvec.init, rng, wav16),
-            "rmvpe": jax.eval_shape(self.rmvpe.init, rng, mel),
             "synthesizer": jax.eval_shape(
                 self.synthesizer.init, rng, phone, pitch, pitchf, sid
             ),
         }
+        if self.pitch_algorithm == "crepe":
+            frames = jnp.zeros((cfg.rmvpe_n_frames, 1024))
+            shapes["crepe"] = jax.eval_shape(self.crepe.init, rng, frames)
+        else:
+            shapes["rmvpe"] = jax.eval_shape(self.rmvpe.init, rng, mel)
         host = np.random.default_rng(seed)
 
         def fill(leaf_path, s):
@@ -314,6 +338,22 @@ class RvcPipeline:
         )
         return audio[0], new_cache
 
+    def _pitch_frontend(self, buf16: jnp.ndarray) -> jnp.ndarray:
+        """Cropped pitch window → per-algorithm network input: log-mel
+        ``[128, T]`` (RMVPE, rmvpe.rs:256-260) or normalized 1024-sample
+        frames ``[T, 1024]`` (CREPE) on the same hop-160 frame grid."""
+        cfg = self.cfg
+        rm_in = buf16[-cfg.rmvpe_frame_16k :]
+        if self.pitch_algorithm == "crepe":
+            return extract_crepe_frames(rm_in, cfg.rmvpe_n_frames)
+        return self.mel(rm_in, keyshift=self.keyshift)
+
+    def _pitch_net(self, params: dict, feat: jnp.ndarray) -> jnp.ndarray:
+        """Network input → salience ``[T, 360]`` (shared cents grid)."""
+        if self.pitch_algorithm == "crepe":
+            return self.crepe.apply(params["crepe"], feat)
+        return self.rmvpe.apply(params["rmvpe"], feat[None])[0]
+
     def _pitch_cache_update(
         self,
         cache: jnp.ndarray,
@@ -322,10 +362,8 @@ class RvcPipeline:
         params: dict,
     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         cfg = self.cfg
-        # mel → salience → f0 for the cropped RMVPE window (rmvpe.rs:256-260)
-        rm_in = buf16[-cfg.rmvpe_frame_16k :]
-        mel = self.mel(rm_in, keyshift=self.keyshift)  # [128, T]
-        salience = self.rmvpe.apply(params["rmvpe"], mel[None])[0]  # [T, 360]
+        # frontend → salience → f0 for the cropped pitch window
+        salience = self._pitch_net(params, self._pitch_frontend(buf16))
         f0 = decode_f0(salience, threshold=0.03)
         f0 = apply_pitch_shift(f0, controls.pitch_shift)
         if self.f0_median_radius >= 3:
@@ -414,10 +452,12 @@ class RvcPipeline:
         return self._make_staged_jits(batched=True)
 
     def _stage_mel(self, buf16):
-        return self.mel(buf16[-self.cfg.rmvpe_frame_16k :], keyshift=self.keyshift)
+        # "mel" historically; under pitch_algorithm="crepe" this is the
+        # normalized-frames frontend instead (same stage slot/axes)
+        return self._pitch_frontend(buf16)
 
-    def _stage_salience(self, params, mel):
-        return self.rmvpe.apply(params["rmvpe"], mel[None])[0]
+    def _stage_salience(self, params, feat):
+        return self._pitch_net(params, feat)
 
     def _stage_pitch_post(self, cache, salience, controls):
         cfg = self.cfg

@@ -30,37 +30,7 @@ def bench(name, fn, *args):
     return out
 
 
-def loop_bench(name, op, x, iters=100, params=None):
-    """Amortized device-side cost of ``op(x)`` (or ``op(params, x)``): K
-    dependency-chained iterations inside ONE executable, so the ~29 ms tunnel
-    RTT is paid once. The carried perturbation (x + sum(y)*1e-30) defeats
-    CSE/DCE without changing the math's cost profile. ``params`` rides as a
-    real jit argument — closure capture would bake weights into the program
-    as constants and blow the remote-compile request-size limit (HTTP 413)."""
-    import jax.numpy as jnp
-
-    def run(p, x0):
-        def body(i, carry):
-            y = op(carry) if p is None else op(p, carry)
-            return carry + jnp.sum(y).astype(carry.dtype) * 1e-30
-
-        return jax.lax.fori_loop(0, iters, body, x0)
-
-    fn = jax.jit(run)
-    t0 = time.perf_counter()
-    jax.block_until_ready(fn(params, x))
-    compile_s = time.perf_counter() - t0
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        jax.block_until_ready(fn(params, x))
-    total_ms = (time.perf_counter() - t0) / reps * 1000
-    per_ms = total_ms / iters
-    print(
-        f"{name:12s} compile {compile_s:7.1f}s   {per_ms*1000:8.1f} us/op"
-        f"   (loop {total_ms:.1f} ms / {iters})",
-        flush=True,
-    )
+from benchlib import slope_bench as loop_bench
 
 
 def main():
@@ -135,10 +105,14 @@ def main():
             ),
             out48,
         )
+        # NB: the input side must ride as an argument, not a closure constant
+        # — a captured buf makes the whole rms1 branch compile-time constant
+        # and XLA's constant folder (slow HLO evaluator) grinds for minutes.
         loop_bench(
             "envelope",
-            lambda o: envelope_mixing(buf[cfg.extra_frame_size :], o, cfg.sample_rate, 0.5),
+            lambda b, o: envelope_mixing(b[cfg.extra_frame_size :], o, cfg.sample_rate, 0.5),
             out48,
+            params=buf,
         )
         loop_bench(
             "sola_offset",
@@ -177,15 +151,13 @@ def main():
             "contentvec",
             lambda p, x: pipe.contentvec.apply(p, x),
             buf16[None],
-            iters=20,
-            params=params["contentvec"],
+                        params=params["contentvec"],
         )
         loop_bench(
             "rmvpe",
             lambda p, m: pipe.rmvpe.apply(p, m),
             mel,
-            iters=20,
-            params=params["rmvpe"],
+                        params=params["rmvpe"],
         )
         loop_bench(
             "synth",
@@ -193,8 +165,7 @@ def main():
                 jnp.float32
             ),
             phone,
-            iters=20,
-            params=params["synthesizer"],
+                        params=params["synthesizer"],
         )
 
     if "pre" in STAGES:
@@ -214,6 +185,44 @@ def main():
         chunk = jnp.zeros(cfg.sample_frame_size)
         controls = StepControls.default()
         bench("step", jax.jit(pipe.step), params, state, chunk, controls)
+
+    if "steploop" in STAGES:
+        # true sustained per-chunk device cost: N steps chained through
+        # carried state inside ONE executable, traced count → slope
+        controls = StepControls.default()
+        chunk = jnp.asarray(
+            np.random.default_rng(7).standard_normal(cfg.sample_frame_size)
+            .astype(np.float32) * 0.1
+        )
+        state0 = jax.tree.map(jnp.asarray, StreamState.init(cfg))
+
+        def steploop(p, st, n):
+            def body(i, s):
+                new_s, _out = pipe.step(p, s, chunk, controls)
+                return new_s
+            return jax.lax.fori_loop(0, n, body, st)
+
+        fn = jax.jit(steploop)
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(params, state0, 5))
+        print(f"steploop     compile {time.perf_counter()-t0:7.1f}s", flush=True)
+
+        def best(n, reps=3):
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(params, state0, n))
+                ts.append(time.perf_counter() - t0)
+            return min(ts) * 1000.0
+
+        n1, n2 = 5, 55
+        t1, t2 = best(n1), best(n2)
+        per = (t2 - t1) / (n2 - n1)
+        print(
+            f"steploop     {per:8.2f} ms/chunk sustained"
+            f"   (fixed {t1 - n1*per:.1f} ms; {cfg.latency_seconds/ (per/1000):.0f}x realtime)",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

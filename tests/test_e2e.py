@@ -125,3 +125,33 @@ def test_synth_config_from_meta():
     assert cfg1.sample_rate == 32000
     assert cfg1.feature_dim == 256
     assert cfg1.upp == 320
+
+
+def test_cli_resonance_shift_reaches_pipeline(tmp_path):
+    """--resonance-shift must actually change the output (it was once
+    silently dropped between the flag and RvcPipeline(keyshift=...)), and
+    must be rejected in combination with --pitch-algorithm crepe."""
+    from obs_rvc_tpu.serve.cli import main
+    from obs_rvc_tpu.utils import read_wav, write_wav
+
+    sr = 48000
+    rng = np.random.default_rng(0)
+    wav = (0.2 * rng.standard_normal(sr)).astype(np.float32)
+    write_wav(tmp_path / "in.wav", wav, sr)
+
+    base = [
+        str(tmp_path / "in.wav"), "", "--sample-length", "0.10",
+        "--extra-inference-time", "0.50",
+    ]
+    base[1] = str(tmp_path / "a.wav")
+    main(list(base))
+    base[1] = str(tmp_path / "b.wav")
+    main(list(base) + ["--resonance-shift", "2"])
+
+    a, _ = read_wav(tmp_path / "a.wav")
+    b, _ = read_wav(tmp_path / "b.wav")
+    assert not np.allclose(a, b), "resonance shift had no effect"
+
+    base[1] = str(tmp_path / "c.wav")
+    with pytest.raises(ValueError, match="resonance shift"):
+        main(list(base) + ["--resonance-shift", "2", "--pitch-algorithm", "crepe"])

@@ -185,3 +185,72 @@ def test_synthesizer_full_model_parity(sr, feature_dim):
         )[:, 0, :].numpy()
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# CREPE (beyond-reference pitch algorithm)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("capacity", ["full", "tiny"])
+def test_crepe_full_model_parity(capacity):
+    from obs_rvc_tpu.models import Crepe, CrepeConfig
+    from torch_oracles import TorchCrepe
+
+    model = Crepe(CrepeConfig(capacity=capacity))
+    frames = np.random.default_rng(2).standard_normal((6, 1024)).astype(np.float32)
+
+    variables = _randomize(model.init(jax.random.PRNGKey(0), jnp.asarray(frames)))
+    ours = np.asarray(model.apply(variables, jnp.asarray(frames)))
+
+    oracle = _load(TorchCrepe(capacity), W.export_crepe(variables))
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(frames)).numpy()
+
+    assert ours.shape == ref.shape == (6, 360)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_crepe_frame_extraction_matches_torchcrepe_preprocess():
+    """extract_crepe_frames == torchcrepe.preprocess semantics: centered
+    1024 windows at hop 160, mean-centered, unbiased-std normalized."""
+    from obs_rvc_tpu.models.crepe import extract_crepe_frames
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(3200).astype(np.float32) * 0.3
+    n_frames = 20
+    got = np.asarray(extract_crepe_frames(jnp.asarray(x), n_frames))
+
+    padded = np.pad(x, (512, 512))
+    for t in range(n_frames):
+        fr = padded[t * 160 : t * 160 + 1024].astype(np.float64)
+        fr = fr - fr.mean()
+        fr = fr / max(fr.std(ddof=1), 1e-10)
+        np.testing.assert_allclose(got[t], fr, atol=1e-4)
+
+
+def test_crepe_pipeline_pitch_on_tone():
+    """End-to-end: a CREPE-pipeline step runs and its decode grid matches
+    RMVPE's (same cents mapping, same cache geometry)."""
+    from obs_rvc_tpu.config import ChunkConfig
+    from obs_rvc_tpu.stream import RvcPipeline, StepControls, StreamState
+
+    cfg = ChunkConfig.build(
+        sample_rate=48000, sample_length=0.10, extra_inference_time=0.50
+    )
+    pipe = RvcPipeline(cfg, pitch_algorithm="crepe",
+                       crepe_cfg=None)
+    assert pipe.pitch_algorithm == "crepe"
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    assert "crepe" in params and "rmvpe" not in params
+    state = StreamState.init(cfg)
+    chunk = jnp.asarray(
+        np.sin(2 * np.pi * 220.0 * np.arange(cfg.sample_frame_size) / 48000)
+        .astype(np.float32)
+    )
+    new_state, out = pipe.staged_step(params, state, chunk, StepControls.default())
+    assert out.shape == (cfg.sample_frame_size,)
+    assert np.isfinite(np.asarray(out)).all()
+    # staged and fused agree in crepe mode too
+    new_state_f, out_f = jax.jit(pipe.step)(params, state, chunk, StepControls.default())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_f), atol=1e-4)

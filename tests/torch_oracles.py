@@ -629,3 +629,48 @@ class TorchSynthesizer(nn.Module):
             else:
                 x = f(x, g, reverse=True)
         return self.dec(x, pitchf, g)  # [B, 1, L]
+
+
+# ===========================================================================
+# CREPE (torchcrepe ``Crepe``, beyond-reference pitch algorithm)
+# ===========================================================================
+
+
+class TorchCrepe(nn.Module):
+    """torchcrepe-style model: 6× [pad → Conv2d(k,1) → relu → BN → maxpool(2,1)]
+    over ``[N, 1, 1024, 1]`` frames, flatten time-major, Linear(…, 360),
+    sigmoid. State-dict layout matches ``weights.export_crepe``."""
+
+    def __init__(self, capacity: str = "full"):
+        super().__init__()
+        if capacity == "full":
+            in_ch = [1, 1024, 128, 128, 128, 256]
+            out_ch = [1024, 128, 128, 128, 256, 512]
+            self.in_features = 2048
+        else:  # tiny
+            in_ch = [1, 128, 16, 16, 16, 32]
+            out_ch = [128, 16, 16, 16, 32, 64]
+            self.in_features = 256
+        kernels = [(512, 1)] + 5 * [(64, 1)]
+        strides = [(4, 1)] + 5 * [(1, 1)]
+        for i in range(6):
+            setattr(self, f"conv{i+1}",
+                    nn.Conv2d(in_ch[i], out_ch[i], kernels[i], strides[i]))
+            setattr(self, f"conv{i+1}_BN",
+                    nn.BatchNorm2d(out_ch[i], eps=1e-3, momentum=0.0))
+        self.classifier = nn.Linear(self.in_features, 360)
+
+    def _layer(self, x, i, padding):
+        x = F.pad(x, padding)
+        x = getattr(self, f"conv{i}")(x)
+        x = F.relu(x)
+        x = getattr(self, f"conv{i}_BN")(x)
+        return F.max_pool2d(x, (2, 1), (2, 1))
+
+    def forward(self, frames):  # [N, 1024]
+        x = frames[:, None, :, None]
+        x = self._layer(x, 1, (0, 0, 254, 254))
+        for i in range(2, 7):
+            x = self._layer(x, i, (0, 0, 31, 32))
+        x = x.permute(0, 2, 1, 3).reshape(-1, self.in_features)
+        return torch.sigmoid(self.classifier(x))
