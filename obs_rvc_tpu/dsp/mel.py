@@ -108,6 +108,7 @@ class MelSpectrogram:
         f_max: float = 8000.0,
         clamp: float = 1e-5,
         norm: Optional[str] = "slaney",
+        htk: bool = True,
     ):
         self.fft_size = fft_size
         self.sample_rate = sample_rate
@@ -116,7 +117,7 @@ class MelSpectrogram:
         self.hop_length = hop_length
         self.clamp = clamp
         self.mel_basis = jnp.asarray(
-            mel_filterbank(sample_rate, fft_size, n_mels, f_min, f_max, htk=True, norm=norm)
+            mel_filterbank(sample_rate, fft_size, n_mels, f_min, f_max, htk=htk, norm=norm)
         )
 
     def __call__(

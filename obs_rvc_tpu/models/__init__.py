@@ -16,6 +16,7 @@ Replaces the reference's three ONNXRuntime sessions
 from obs_rvc_tpu.models.contentvec import ContentVec, ContentVecConfig
 from obs_rvc_tpu.models.rmvpe import RMVPE, RMVPEConfig
 from obs_rvc_tpu.models.crepe import Crepe, CrepeConfig
+from obs_rvc_tpu.models.fcpe import Fcpe, FcpeConfig
 from obs_rvc_tpu.models.synthesizer import Synthesizer, SynthesizerConfig
 
 __all__ = [
@@ -25,6 +26,8 @@ __all__ = [
     "RMVPEConfig",
     "Crepe",
     "CrepeConfig",
+    "Fcpe",
+    "FcpeConfig",
     "Synthesizer",
     "SynthesizerConfig",
 ]

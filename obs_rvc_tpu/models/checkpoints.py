@@ -57,6 +57,12 @@ def load_crepe_params(path: str | pathlib.Path) -> dict:
     return W.convert_crepe(sd)
 
 
+def load_fcpe_params(path: str | pathlib.Path, n_layers: int = 6) -> dict:
+    """torchfcpe .pt (``model`` payload + config) → Fcpe variables."""
+    ckpt = _load_state_dict(path)
+    return W.convert_fcpe(ckpt, n_layers=n_layers)
+
+
 def load_synthesizer_params(path: str | pathlib.Path) -> tuple[dict, dict]:
     """RVC ``.pth`` → (Synthesizer variables, metadata). Metadata includes
     ``sr`` / ``f0`` / ``version`` when the checkpoint carries them (the small
@@ -140,6 +146,7 @@ def load_pipeline_params(
     contentvec_path: Optional[str] = None,
     rmvpe_path: Optional[str] = None,
     crepe_path: Optional[str] = None,
+    fcpe_path: Optional[str] = None,
     synthesizer_path: Optional[str] = None,
     index_path: Optional[str] = None,
     rng: Optional[jax.Array] = None,
@@ -170,6 +177,11 @@ def load_pipeline_params(
         if strict_shapes:
             W.assert_tree_shapes_match(conv, params["crepe"])
         params["crepe"] = conv
+    if fcpe_path:
+        conv = load_fcpe_params(fcpe_path, n_layers=pipeline.fcpe_cfg.n_layers)
+        if strict_shapes:
+            W.assert_tree_shapes_match(conv, params["fcpe"])
+        params["fcpe"] = conv
     if synthesizer_path:
         conv, _meta = load_synthesizer_params(synthesizer_path)
         if strict_shapes:

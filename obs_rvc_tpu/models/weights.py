@@ -325,6 +325,70 @@ def export_crepe(variables: Mapping[str, Any]) -> dict[str, np.ndarray]:
     return out
 
 
+def convert_fcpe(state_dict: Mapping[str, Any], n_layers: int = 6) -> dict:
+    """torchfcpe ``CFNaiveMelPE`` checkpoint → Fcpe variables.
+
+    torchfcpe names (``.pt`` payload key ``model``, prefix stripped):
+    ``input_stack.{0,3}`` (Conv1d k3), ``input_stack.1`` (GroupNorm),
+    ``net.encoder_layers.{i}.conformer.net.{0,2,4.conv,6}`` (LayerNorm /
+    pointwise / depthwise / pointwise), ``norm`` (LayerNorm),
+    ``output_proj`` (weight-normed Linear — g/v kept separate so the
+    round-trip is bit-exact).
+    """
+    sd = dict(state_dict)
+    if "model" in sd and isinstance(sd["model"], Mapping):
+        sd = dict(sd["model"])
+    params: dict[str, Any] = {
+        "in_conv1": conv1d(sd, "input_stack.0"),
+        "in_gn": layer_norm(sd, "input_stack.1"),
+        "in_conv2": conv1d(sd, "input_stack.3"),
+        "final_norm": layer_norm(sd, "norm"),
+    }
+    for i in range(n_layers):
+        pre = f"net.encoder_layers.{i}.conformer.net"
+        params[f"layer_{i}"] = {
+            "ln": layer_norm(sd, f"{pre}.0"),
+            "pw1": conv1x1_as_dense(sd, f"{pre}.2"),
+            "dw": conv1d(sd, f"{pre}.4.conv"),
+            "pw2": conv1x1_as_dense(sd, f"{pre}.6"),
+        }
+    # flax stores pointwise convs as rank-3 Conv kernels [1, in, out]
+    for i in range(n_layers):
+        for key in ("pw1", "pw2"):
+            k = params[f"layer_{i}"][key]["kernel"]
+            params[f"layer_{i}"][key]["kernel"] = k[None]
+    params["output_proj"] = {
+        "v": _np(sd["output_proj.weight_v"]).T,
+        "g": _np(sd["output_proj.weight_g"]).reshape(-1),
+        "bias": _np(sd["output_proj.bias"]),
+    }
+    return {"params": params}
+
+
+def export_fcpe(variables: Mapping[str, Any], n_layers: int = 6) -> dict[str, np.ndarray]:
+    """Inverse of :func:`convert_fcpe` (torchfcpe state-dict layout)."""
+    p = variables["params"]
+    out: dict[str, np.ndarray] = {}
+    _exp_conv1d(out, "input_stack.0", p["in_conv1"])
+    out["input_stack.1.weight"] = np.asarray(p["in_gn"]["scale"])
+    out["input_stack.1.bias"] = np.asarray(p["in_gn"]["bias"])
+    _exp_conv1d(out, "input_stack.3", p["in_conv2"])
+    for i in range(n_layers):
+        pre = f"net.encoder_layers.{i}.conformer.net"
+        lp = p[f"layer_{i}"]
+        out[f"{pre}.0.weight"] = np.asarray(lp["ln"]["scale"])
+        out[f"{pre}.0.bias"] = np.asarray(lp["ln"]["bias"])
+        _exp_conv1x1(out, f"{pre}.2", {**lp["pw1"], "kernel": np.asarray(lp["pw1"]["kernel"])[0]})
+        _exp_conv1d(out, f"{pre}.4.conv", lp["dw"])
+        _exp_conv1x1(out, f"{pre}.6", {**lp["pw2"], "kernel": np.asarray(lp["pw2"]["kernel"])[0]})
+    out["norm.weight"] = np.asarray(p["final_norm"]["scale"])
+    out["norm.bias"] = np.asarray(p["final_norm"]["bias"])
+    out["output_proj.weight_v"] = np.asarray(p["output_proj"]["v"]).T
+    out["output_proj.weight_g"] = np.asarray(p["output_proj"]["g"]).reshape(-1, 1)
+    out["output_proj.bias"] = np.asarray(p["output_proj"]["bias"])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # RVC synthesizer
 # ---------------------------------------------------------------------------

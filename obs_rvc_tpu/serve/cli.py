@@ -28,11 +28,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--contentvec", help="ContentVec/HuBERT .pt checkpoint")
     p.add_argument("--rmvpe", help="RMVPE .pt checkpoint")
     p.add_argument("--crepe", help="torchcrepe .pth checkpoint (pitch-algorithm crepe)")
+    p.add_argument("--fcpe", help="torchfcpe .pt checkpoint (pitch-algorithm fcpe)")
     p.add_argument("--index", help="faiss .index / .npy feature table")
     # the 13 settings
     p.add_argument("--model-version", default="v2", choices=["v1", "v2"])
     p.add_argument("--dest-sample-rate", type=int, default=40000)
-    p.add_argument("--pitch-algorithm", default="rmvpe", choices=["rmvpe", "crepe"])
+    p.add_argument("--pitch-algorithm", default="rmvpe", choices=["rmvpe", "crepe", "fcpe"])
     p.add_argument("--pitch-shift", type=float, default=0.0)
     p.add_argument("--resonance-shift", type=float, default=0.0)
     p.add_argument("--index-rate", type=float, default=0.0)
@@ -95,6 +96,7 @@ def main(argv=None) -> None:
         contentvec_path=args.contentvec,
         rmvpe_path=args.rmvpe,
         crepe_path=args.crepe,
+        fcpe_path=args.fcpe,
         synthesizer_path=args.model,
         index_path=args.index,
     )

@@ -43,8 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rmvpe")
     p.add_argument("--index")
     p.add_argument("--model-version", default="v2", choices=["v1", "v2"])
-    p.add_argument("--pitch-algorithm", default="rmvpe", choices=["rmvpe", "crepe"])
+    p.add_argument("--pitch-algorithm", default="rmvpe", choices=["rmvpe", "crepe", "fcpe"])
     p.add_argument("--crepe")
+    p.add_argument("--fcpe")
     p.add_argument("--dest-sample-rate", type=int, default=40000)
     p.add_argument("--pitch-shift", type=float, default=0.0)
     p.add_argument("--resonance-shift", type=float, default=0.0)
@@ -97,6 +98,7 @@ def build_pipeline(args):
         contentvec_path=args.contentvec,
         rmvpe_path=args.rmvpe,
         crepe_path=args.crepe,
+        fcpe_path=args.fcpe,
         synthesizer_path=args.model,
         index_path=args.index,
     )

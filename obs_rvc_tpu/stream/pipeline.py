@@ -52,6 +52,7 @@ from obs_rvc_tpu.models import (
     SynthesizerConfig,
 )
 from obs_rvc_tpu.models.crepe import Crepe, CrepeConfig, extract_crepe_frames
+from obs_rvc_tpu.models.fcpe import Fcpe, FcpeConfig, decode_f0_fcpe
 from obs_rvc_tpu.models.contentvec import extract_feature, feature_frames
 from obs_rvc_tpu.stream.state import StreamState
 
@@ -119,6 +120,7 @@ class RvcPipeline:
         synth_cfg: Optional[SynthesizerConfig] = None,
         pitch_algorithm: str = "rmvpe",
         crepe_cfg: Optional[CrepeConfig] = None,
+        fcpe_cfg: Optional[FcpeConfig] = None,
     ):
         self.cfg = cfg
         self.version = version
@@ -130,12 +132,14 @@ class RvcPipeline:
         self.keyshift = keyshift
         #: phase-corrected SOLA crossfade (the reference's lib.rs:778 TODO)
         self.phase_vocoder = phase_vocoder
-        #: "rmvpe" (reference parity) or "crepe" (upstream-RVC extra; the
-        #: Rust reference has RMVPE only) — both decode on the same
-        #: 360-bin/20-cent grid and share the hop-160 pitch-cache geometry
-        if pitch_algorithm not in ("rmvpe", "crepe"):
+        #: "rmvpe" (reference parity) or "crepe"/"fcpe" (upstream-RVC
+        #: extras; the Rust reference has RMVPE only). All three share the
+        #: hop-160 pitch-cache geometry; rmvpe/crepe decode on the same
+        #: 360-bin/20-cent grid, fcpe on its own linspace grid
+        #: (models/fcpe.py decode).
+        if pitch_algorithm not in ("rmvpe", "crepe", "fcpe"):
             raise ValueError(f"unknown pitch_algorithm {pitch_algorithm!r}")
-        if pitch_algorithm == "crepe" and keyshift:
+        if pitch_algorithm != "rmvpe" and keyshift:
             raise ValueError("resonance shift (mel keyshift) requires pitch_algorithm='rmvpe'")
         self.pitch_algorithm = pitch_algorithm
 
@@ -160,8 +164,16 @@ class RvcPipeline:
             crepe_cfg if crepe_cfg is not None else CrepeConfig(), dtype=compute_dtype
         )
         self.crepe = Crepe(self.crepe_cfg)
+        self.fcpe_cfg = dataclasses.replace(
+            fcpe_cfg if fcpe_cfg is not None else FcpeConfig(), dtype=compute_dtype
+        )
+        self.fcpe = Fcpe(self.fcpe_cfg)
         self.synthesizer = Synthesizer(self.synth_cfg)
         self.mel = MelSpectrogram()
+        if pitch_algorithm == "fcpe":
+            # torchfcpe's Wav2Mel: librosa-default (Slaney) mel scale,
+            # fmin 0 — vs RMVPE's HTK / fmin 30 (models/fcpe.py module doc)
+            self.fcpe_mel = MelSpectrogram(f_min=0.0, htk=False)
 
         self._fade_in, self._fade_out = fade_windows(cfg.sola_buffer_frame_size)
 
@@ -197,6 +209,9 @@ class RvcPipeline:
         if self.pitch_algorithm == "crepe":
             frames = jnp.zeros((cfg.rmvpe_n_frames, 1024))
             out["crepe"] = self.crepe.init(r2, frames)
+        elif self.pitch_algorithm == "fcpe":
+            mel_t = jnp.zeros((cfg.rmvpe_n_frames, 128))
+            out["fcpe"] = self.fcpe.init(r2, mel_t)
         else:
             mel = jnp.zeros((1, 128, cfg.rmvpe_n_frames))
             out["rmvpe"] = self.rmvpe.init(r2, mel)
@@ -228,6 +243,9 @@ class RvcPipeline:
         if self.pitch_algorithm == "crepe":
             frames = jnp.zeros((cfg.rmvpe_n_frames, 1024))
             shapes["crepe"] = jax.eval_shape(self.crepe.init, rng, frames)
+        elif self.pitch_algorithm == "fcpe":
+            mel_t = jnp.zeros((cfg.rmvpe_n_frames, 128))
+            shapes["fcpe"] = jax.eval_shape(self.fcpe.init, rng, mel_t)
         else:
             shapes["rmvpe"] = jax.eval_shape(self.rmvpe.init, rng, mel)
         host = np.random.default_rng(seed)
@@ -346,13 +364,24 @@ class RvcPipeline:
         rm_in = buf16[-cfg.rmvpe_frame_16k :]
         if self.pitch_algorithm == "crepe":
             return extract_crepe_frames(rm_in, cfg.rmvpe_n_frames)
+        if self.pitch_algorithm == "fcpe":
+            return self.fcpe_mel(rm_in).T  # [T, 128], Slaney-scale mel
         return self.mel(rm_in, keyshift=self.keyshift)
 
     def _pitch_net(self, params: dict, feat: jnp.ndarray) -> jnp.ndarray:
-        """Network input → salience ``[T, 360]`` (shared cents grid)."""
+        """Network input → salience ``[T, 360]``."""
         if self.pitch_algorithm == "crepe":
             return self.crepe.apply(params["crepe"], feat)
+        if self.pitch_algorithm == "fcpe":
+            return self.fcpe.apply(params["fcpe"], feat)
         return self.rmvpe.apply(params["rmvpe"], feat[None])[0]
+
+    def _decode_salience(self, salience: jnp.ndarray) -> jnp.ndarray:
+        """Salience → f0 Hz, per-algorithm decode (grids differ; see
+        models/fcpe.py vs dsp/f0.py)."""
+        if self.pitch_algorithm == "fcpe":
+            return decode_f0_fcpe(salience, threshold=0.05)
+        return decode_f0(salience, threshold=0.03)
 
     def _pitch_cache_update(
         self,
@@ -364,7 +393,7 @@ class RvcPipeline:
         cfg = self.cfg
         # frontend → salience → f0 for the cropped pitch window
         salience = self._pitch_net(params, self._pitch_frontend(buf16))
-        f0 = decode_f0(salience, threshold=0.03)
+        f0 = self._decode_salience(salience)
         f0 = apply_pitch_shift(f0, controls.pitch_shift)
         if self.f0_median_radius >= 3:
             f0 = median_filter_f0(f0, self.f0_median_radius)
@@ -461,7 +490,7 @@ class RvcPipeline:
 
     def _stage_pitch_post(self, cache, salience, controls):
         cfg = self.cfg
-        f0 = decode_f0(salience, threshold=0.03)
+        f0 = self._decode_salience(salience)
         f0 = apply_pitch_shift(f0, controls.pitch_shift)
         if self.f0_median_radius >= 3:
             f0 = median_filter_f0(f0, self.f0_median_radius)

@@ -374,3 +374,14 @@ def test_rmvpe_export_roundtrip():
     back = W.convert_rmvpe(sd, n_blocks=cfg.n_blocks, en_de_layers=cfg.en_de_layers,
                            inter_layers=cfg.inter_layers)
     _leaves_equal(var, back)
+
+
+def test_fcpe_export_roundtrip():
+    from obs_rvc_tpu.models import Fcpe, FcpeConfig
+
+    cfg = FcpeConfig(hidden=64, n_layers=2)
+    model = Fcpe(cfg)
+    var = model.init(jax.random.PRNGKey(3), jnp.zeros((5, 128)))
+    sd = W.export_fcpe(var, n_layers=cfg.n_layers)
+    back = W.convert_fcpe(sd, n_layers=cfg.n_layers)
+    _leaves_equal(var, back)

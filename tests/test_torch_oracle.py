@@ -254,3 +254,93 @@ def test_crepe_pipeline_pitch_on_tone():
     # staged and fused agree in crepe mode too
     new_state_f, out_f = jax.jit(pipe.step)(params, state, chunk, StepControls.default())
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_f), atol=1e-4)
+
+
+@pytest.mark.parametrize("dims", [(512, 6), (64, 2)])
+def test_fcpe_full_model_parity(dims):
+    from obs_rvc_tpu.models import Fcpe, FcpeConfig
+    from torch_oracles import TorchFcpe
+
+    hidden, n_layers = dims
+    model = Fcpe(FcpeConfig(hidden=hidden, n_layers=n_layers))
+    mel = np.random.default_rng(4).standard_normal((8, 128)).astype(np.float32)
+
+    variables = _randomize(model.init(jax.random.PRNGKey(0), jnp.asarray(mel)))
+    # weight-norm g inits to ones — perturb it so a dropped/misrouted g
+    # cannot cancel out
+    g = np.asarray(variables["params"]["output_proj"]["g"])
+    variables["params"]["output_proj"]["g"] = (
+        1.0 + 0.3 * np.random.default_rng(5).standard_normal(g.shape)
+    ).astype(np.float32)
+    ours = np.asarray(model.apply(variables, jnp.asarray(mel)))
+
+    oracle = _load(
+        TorchFcpe(hidden=hidden, n_layers=n_layers),
+        W.export_fcpe(variables, n_layers=n_layers),
+    )
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(mel)[None])[0].numpy()
+
+    assert ours.shape == ref.shape == (8, 360)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_fcpe_decode_matches_torch():
+    """decode_f0_fcpe == torchfcpe's clamped local-argmax decoder, including
+    edge frames (argmax at bin 0/359) and unvoiced thresholding."""
+    from obs_rvc_tpu.models.fcpe import decode_f0_fcpe, fcpe_cent_table
+    from torch_oracles import TorchFcpe
+
+    rng = np.random.default_rng(6)
+    sal = rng.uniform(0.0, 1.0, (32, 360)).astype(np.float32) * 0.04
+    sal[0, 0] = 0.9      # clamp at the low edge
+    sal[1, 359] = 0.8    # clamp at the high edge
+    sal[2, 100] = 0.7
+    # rows 3.. mostly stay below the 0.05 threshold → unvoiced
+
+    ours = np.asarray(decode_f0_fcpe(jnp.asarray(sal), threshold=0.05))
+    table = torch.from_numpy(fcpe_cent_table())
+    with torch.no_grad():
+        ref = TorchFcpe.decode_local_argmax(
+            None, torch.from_numpy(sal), table, threshold=0.05
+        ).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-3)
+    assert ours[0] > 0 and ours[1] > 0 and ours[2] > 0
+
+
+def test_fcpe_pipeline_pitch_on_tone():
+    """End-to-end fcpe-mode step: Slaney-mel frontend feeds the conformer
+    net, staged and fused paths agree, params carry 'fcpe' only."""
+    from obs_rvc_tpu.config import ChunkConfig
+    from obs_rvc_tpu.models import FcpeConfig
+    from obs_rvc_tpu.stream import RvcPipeline, StepControls, StreamState
+
+    cfg = ChunkConfig.build(
+        sample_rate=48000, sample_length=0.10, extra_inference_time=0.50
+    )
+    pipe = RvcPipeline(
+        cfg, pitch_algorithm="fcpe", fcpe_cfg=FcpeConfig(hidden=64, n_layers=2)
+    )
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    assert "fcpe" in params and "rmvpe" not in params and "crepe" not in params
+    state = StreamState.init(cfg)
+    chunk = jnp.asarray(
+        np.sin(2 * np.pi * 220.0 * np.arange(cfg.sample_frame_size) / 48000)
+        .astype(np.float32)
+    )
+    new_state, out = pipe.staged_step(params, state, chunk, StepControls.default())
+    assert out.shape == (cfg.sample_frame_size,)
+    assert np.isfinite(np.asarray(out)).all()
+    new_state_f, out_f = jax.jit(pipe.step)(params, state, chunk, StepControls.default())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_f), atol=2e-4)
+
+
+def test_fcpe_rejects_resonance_shift():
+    from obs_rvc_tpu.config import ChunkConfig
+    from obs_rvc_tpu.stream import RvcPipeline
+
+    cfg = ChunkConfig.build(
+        sample_rate=48000, sample_length=0.10, extra_inference_time=0.50
+    )
+    with pytest.raises(ValueError, match="resonance"):
+        RvcPipeline(cfg, pitch_algorithm="fcpe", keyshift=2)

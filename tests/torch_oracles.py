@@ -674,3 +674,109 @@ class TorchCrepe(nn.Module):
             x = self._layer(x, i, (0, 0, 31, 32))
         x = x.permute(0, 2, 1, 3).reshape(-1, self.in_features)
         return torch.sigmoid(self.classifier(x))
+
+
+# ===========================================================================
+# FCPE (torchfcpe ``CFNaiveMelPE``, beyond-reference pitch algorithm)
+# ===========================================================================
+
+
+class _Transpose(nn.Module):
+    def forward(self, x):
+        return x.transpose(1, 2)
+
+
+class _DepthWiseConv1d(nn.Module):
+    """torchfcpe's depthwise conv wrapper (state-dict key ``...conv``)."""
+
+    def __init__(self, chan, kernel_size, padding):
+        super().__init__()
+        self.padding = padding
+        self.conv = nn.Conv1d(chan, chan, kernel_size, groups=chan)
+
+    def forward(self, x):
+        return self.conv(F.pad(x, (self.padding, self.padding)))
+
+
+class _FcpeConformerConvModule(nn.Module):
+    """torchfcpe ConformerConvModule (BatchNorm-free "naive" form):
+    LN → transpose → pointwise(2×inner) → GLU → depthwise(k31) → SiLU →
+    pointwise → transpose. Sequential indices {0,2,4,6} carry weights,
+    matching ``weights.convert_fcpe``'s key map."""
+
+    def __init__(self, dim, expansion=2, kernel_size=31):
+        super().__init__()
+        inner = dim * expansion
+        self.net = nn.Sequential(
+            nn.LayerNorm(dim),
+            _Transpose(),
+            nn.Conv1d(dim, inner * 2, 1),
+            nn.GLU(dim=1),
+            _DepthWiseConv1d(inner, kernel_size, kernel_size // 2),
+            nn.SiLU(),
+            nn.Conv1d(inner, dim, 1),
+            _Transpose(),
+        )
+
+    def forward(self, x):
+        return self.net(x)
+
+
+class _FcpeEncoderLayer(nn.Module):
+    def __init__(self, dim, expansion, kernel_size):
+        super().__init__()
+        self.conformer = _FcpeConformerConvModule(dim, expansion, kernel_size)
+
+    def forward(self, x):
+        return x + self.conformer(x)
+
+
+class _FcpeEncoder(nn.Module):
+    def __init__(self, n_layers, dim, expansion, kernel_size):
+        super().__init__()
+        self.encoder_layers = nn.ModuleList(
+            _FcpeEncoderLayer(dim, expansion, kernel_size) for _ in range(n_layers)
+        )
+
+    def forward(self, x):
+        for layer in self.encoder_layers:
+            x = layer(x)
+        return x
+
+
+class TorchFcpe(nn.Module):
+    """torchfcpe ``CFNaiveMelPE`` (conv_only variant): input stack →
+    conformer-naive encoder → LayerNorm → weight-normed Linear → sigmoid.
+    State-dict layout matches ``weights.export_fcpe``."""
+
+    def __init__(self, n_mels=128, hidden=512, n_layers=6, out_dims=360,
+                 expansion=2, kernel_size=31):
+        super().__init__()
+        self.input_stack = nn.Sequential(
+            nn.Conv1d(n_mels, hidden, 3, 1, 1),
+            nn.GroupNorm(4, hidden),
+            nn.LeakyReLU(),
+            nn.Conv1d(hidden, hidden, 3, 1, 1),
+        )
+        self.net = _FcpeEncoder(n_layers, hidden, expansion, kernel_size)
+        self.norm = nn.LayerNorm(hidden)
+        self.output_proj = nn.utils.weight_norm(nn.Linear(hidden, out_dims))
+
+    def forward(self, mel):  # [B, T, n_mels]
+        x = self.input_stack(mel.transpose(-1, -2)).transpose(-1, -2)
+        x = self.net(x)
+        x = self.norm(x)
+        return torch.sigmoid(self.output_proj(x))
+
+    def decode_local_argmax(self, y, cent_table, threshold=0.05):
+        """torchfcpe latent2cents_local_decoder: clamped 9-bin window
+        around the argmax, salience-weighted cents, threshold → unvoiced."""
+        conf, max_index = torch.max(y, dim=-1, keepdim=True)
+        idx = torch.clamp(
+            torch.arange(9, device=y.device)[None, :] + (max_index - 4), 0, y.shape[-1] - 1
+        )
+        ci = cent_table[idx]
+        yl = torch.gather(y, -1, idx)
+        cents = torch.sum(ci * yl, dim=-1) / torch.sum(yl, dim=-1)
+        f0 = 10.0 * torch.pow(2.0, cents / 1200.0)
+        return torch.where(conf[..., 0] > threshold, f0, torch.zeros_like(f0))
