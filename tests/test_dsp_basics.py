@@ -152,3 +152,48 @@ def test_log_mel_keyshift_path():
     out = np.asarray(mel(sig, keyshift=2))
     assert out.shape == (128, 64)
     assert np.isfinite(out).all()
+
+
+def test_log_mel_keyshift_matches_independent_oracle():
+    """Full keyshift (resonance-shift) log-mel vs an independent numpy
+    implementation: resized analysis window/FFT (2^(k/12)), centered
+    reflect-pad STFT via np.fft.rfft, bin truncation to the base count,
+    window-ratio rescale, mel matmul, log-clamp. Covers the whole keyshift
+    algebra, not just shape/finiteness (upstream semantics; the reference's
+    own keyshift path at rmvpe.rs:170-201 is unreachable dead code)."""
+    rng = np.random.default_rng(7)
+    L, hop, base_fft = 10080, 160, 1024
+    sig = rng.standard_normal(L).astype(np.float32) * 0.3
+
+    for k in (2, -3):
+        factor = 2.0 ** (k / 12.0)
+        fft_new = int(round(base_fft * factor))
+        win_new = int(round(base_fft * factor))
+
+        # periodic Hann, matching dsp.window.hann_window_periodic
+        n = np.arange(win_new)
+        window = (0.5 - 0.5 * np.cos(2 * np.pi * n / win_new)).astype(np.float64)
+
+        padded = np.pad(sig.astype(np.float64), fft_new // 2, mode="reflect")
+        T = 1 + L // hop
+        # odd fft_new: the last centered frame reads 1 sample past the
+        # reflect pad; the static-shape framer zero-extends — mirror that
+        need = (T - 1) * hop + fft_new
+        if padded.size < need:
+            padded = np.pad(padded, (0, need - padded.size))
+        mags = np.empty((T, fft_new // 2 + 1))
+        for t in range(T):
+            frame = padded[t * hop : t * hop + fft_new] * window
+            mags[t] = np.abs(np.fft.rfft(frame))
+
+        size = base_fft // 2 + 1
+        if mags.shape[1] < size:
+            mags = np.pad(mags, ((0, 0), (0, size - mags.shape[1])))
+        mags = mags[:, :size] * (base_fft / win_new)
+
+        fb = mel_filterbank(16000, base_fft, 128, 30.0, 8000.0, htk=True, norm="slaney")
+        oracle = np.log(np.maximum(mags @ fb.T, 1e-5)).T  # [128, T]
+
+        ours = np.asarray(MelSpectrogram()(jnp.asarray(sig), keyshift=k))
+        assert ours.shape == oracle.shape == (128, T)
+        np.testing.assert_allclose(ours, oracle, atol=2e-4)
