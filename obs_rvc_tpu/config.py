@@ -52,17 +52,29 @@ class RvcModelVersion(enum.Enum):
 
 
 class PitchAlgorithm(enum.Enum):
-    """Pitch extraction algorithm (reference supports RMVPE only,
-    ``rvc-common/src/enums.rs:26-28``)."""
+    """Pitch extraction algorithm. The reference enum has RMVPE only
+    (``rvc-common/src/enums.rs:26-28``; its int/string conversions map every
+    unknown value to RMVPE — preserved here so reference wire values decode
+    identically). CREPE/FCPE are beyond-reference additions
+    (``models/crepe.py`` / ``models/fcpe.py``)."""
 
     RMVPE = 1
+    CREPE = 2
+    FCPE = 3
 
     @classmethod
     def from_str(cls, s: str) -> "PitchAlgorithm":
-        return cls.RMVPE
+        return {"crepe": cls.CREPE, "fcpe": cls.FCPE}.get(s.lower(), cls.RMVPE)
+
+    @classmethod
+    def from_int(cls, i: int) -> "PitchAlgorithm":
+        try:
+            return cls(i)
+        except ValueError:
+            return cls.RMVPE
 
     def __str__(self) -> str:
-        return "rmvpe"
+        return self.name.lower()
 
 
 #: 16 kHz model-side samples per 10 ms block (the reference hard-codes 160

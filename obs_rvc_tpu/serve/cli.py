@@ -57,7 +57,7 @@ def main(argv=None) -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from obs_rvc_tpu.config import RvcModelVersion, StreamSettings
+    from obs_rvc_tpu.config import PitchAlgorithm, RvcModelVersion, StreamSettings
     from obs_rvc_tpu.models.checkpoints import load_pipeline_params
     from obs_rvc_tpu.retrieval import RetrievalIndex
     from obs_rvc_tpu.stream import RvcPipeline, StepControls
@@ -71,6 +71,7 @@ def main(argv=None) -> None:
         model_path=args.model,
         index_path=args.index,
         model_version=RvcModelVersion.from_str(args.model_version),
+        pitch_algorithm=PitchAlgorithm.from_str(args.pitch_algorithm),
         dest_sample_rate=args.dest_sample_rate,
         pitch_shift=int(args.pitch_shift),
         resonance_shift=args.resonance_shift,
@@ -88,7 +89,7 @@ def main(argv=None) -> None:
         f0_median_radius=args.f0_median_radius,
         retrieval_index=RetrievalIndex() if args.index else None,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
-        pitch_algorithm=args.pitch_algorithm,
+        pitch_algorithm=str(settings.pitch_algorithm),
         keyshift=int(round(args.resonance_shift)),
     )
     params = load_pipeline_params(

@@ -59,3 +59,20 @@ def test_model_versions():
     assert RvcModelVersion.V2.text_encoder_in_channels == 768
     assert RvcModelVersion.V2.output_layers == 12
     assert RvcModelVersion.from_str("v1") is RvcModelVersion.V1
+
+
+def test_pitch_algorithm_enum_conversions():
+    """Reference semantics preserved: unknown ints/strings decode to RMVPE
+    (rvc-common/src/enums.rs:95-123); crepe/fcpe are beyond-reference
+    additions with stable wire values 2/3."""
+    from obs_rvc_tpu.config import PitchAlgorithm as PA
+
+    assert PA.from_str("rmvpe") is PA.RMVPE
+    assert PA.from_str("crepe") is PA.CREPE
+    assert PA.from_str("FCPE") is PA.FCPE
+    assert PA.from_str("harvest") is PA.RMVPE  # unknown → RMVPE, like the reference
+    assert PA.from_int(1) is PA.RMVPE
+    assert PA.from_int(2) is PA.CREPE
+    assert PA.from_int(3) is PA.FCPE
+    assert PA.from_int(99) is PA.RMVPE
+    assert str(PA.CREPE) == "crepe" and str(PA.FCPE) == "fcpe"
