@@ -149,6 +149,7 @@ def load_pipeline_params(
     fcpe_path: Optional[str] = None,
     synthesizer_path: Optional[str] = None,
     index_path: Optional[str] = None,
+    index_dtype=None,
     rng: Optional[jax.Array] = None,
     strict_shapes: bool = True,
 ) -> dict:
@@ -190,7 +191,12 @@ def load_pipeline_params(
     if index_path:
         from obs_rvc_tpu.retrieval import RetrievalIndex, load_index_vectors
 
-        params["index"] = RetrievalIndex.make_params(load_index_vectors(index_path))
+        import numpy as _np
+
+        params["index"] = RetrievalIndex.make_params(
+            load_index_vectors(index_path),
+            dtype=index_dtype if index_dtype is not None else _np.float32,
+        )
 
     return params
 

@@ -30,6 +30,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--crepe", help="torchcrepe .pth checkpoint (pitch-algorithm crepe)")
     p.add_argument("--fcpe", help="torchfcpe .pt checkpoint (pitch-algorithm fcpe)")
     p.add_argument("--index", help="faiss .index / .npy feature table")
+    p.add_argument("--index-dtype", default="float32", choices=["float32", "bfloat16"],
+                   help="on-chip table dtype; bfloat16 halves the search's HBM traffic")
     # the 13 settings
     p.add_argument("--model-version", default="v2", choices=["v1", "v2"])
     p.add_argument("--dest-sample-rate", type=int, default=40000)
@@ -100,6 +102,7 @@ def main(argv=None) -> None:
         fcpe_path=args.fcpe,
         synthesizer_path=args.model,
         index_path=args.index,
+        index_dtype=jnp.bfloat16 if args.index_dtype == "bfloat16" else None,
     )
     controls = StepControls.default(
         pitch_shift=args.pitch_shift,

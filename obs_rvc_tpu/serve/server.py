@@ -42,6 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--contentvec")
     p.add_argument("--rmvpe")
     p.add_argument("--index")
+    p.add_argument("--index-dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--model-version", default="v2", choices=["v1", "v2"])
     p.add_argument("--pitch-algorithm", default="rmvpe", choices=["rmvpe", "crepe", "fcpe"])
     p.add_argument("--crepe")
@@ -102,6 +103,7 @@ def build_pipeline(args):
         fcpe_path=args.fcpe,
         synthesizer_path=args.model,
         index_path=args.index,
+        index_dtype=jnp.bfloat16 if args.index_dtype == "bfloat16" else None,
     )
     controls = StepControls.default(
         pitch_shift=args.pitch_shift,

@@ -128,3 +128,42 @@ def test_build_index_pipeline(tmp_path):
     phone = jnp.asarray(feats[None, :5, :])
     out = knn_blend(jnp.asarray(p["vectors"]), jnp.asarray(p["norms"]), phone, 0.75)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_knn_blend_bf16_table_close_to_f32():
+    """bf16 on-chip table (make_params(dtype=bfloat16)): distances still
+    accumulate in f32 (preferred_element_type) and norms stay f32; the blend
+    must stay close to the f32-table result and, with well-separated
+    clusters, pick identical neighbors."""
+    rng = np.random.default_rng(11)
+    # well-separated cluster centers so bf16 rounding can't flip top-k
+    centers = rng.standard_normal((50, 32)).astype(np.float32) * 4.0
+    vectors = np.repeat(centers, 4, axis=0) + 0.01 * rng.standard_normal((200, 32)).astype(np.float32)
+    phone = (centers[:6] + 0.02 * rng.standard_normal((6, 32))).astype(np.float32).reshape(2, 3, 32)
+
+    p32 = RetrievalIndex.make_params(vectors)
+    p16 = RetrievalIndex.make_params(vectors, dtype=jnp.bfloat16)
+    assert p16["vectors"].dtype == jnp.bfloat16
+    assert p16["norms"].dtype == np.float32
+
+    got32 = np.asarray(knn_blend(jnp.asarray(p32["vectors"]), jnp.asarray(p32["norms"]),
+                                 jnp.asarray(phone), 0.9, k=4))
+    got16 = np.asarray(knn_blend(jnp.asarray(p16["vectors"]), jnp.asarray(p16["norms"]),
+                                 jnp.asarray(phone), 0.9, k=4))
+    assert got16.dtype == np.float32
+    np.testing.assert_allclose(got16, got32, rtol=2e-2, atol=2e-2)
+
+
+def test_load_pipeline_params_index_dtype(tmp_path):
+    from obs_rvc_tpu.config import ChunkConfig
+    from obs_rvc_tpu.models.checkpoints import load_pipeline_params
+    from obs_rvc_tpu.stream import RvcPipeline
+
+    vec = np.random.default_rng(3).standard_normal((64, 768)).astype(np.float32)
+    np.save(tmp_path / "table.npy", vec)
+    cfg = ChunkConfig.build(sample_rate=48000, sample_length=0.10, extra_inference_time=0.50)
+    pipe = RvcPipeline(cfg, retrieval_index=RetrievalIndex())
+    params = load_pipeline_params(
+        pipe, index_path=str(tmp_path / "table.npy"), index_dtype=jnp.bfloat16
+    )
+    assert params["index"]["vectors"].dtype == jnp.bfloat16
