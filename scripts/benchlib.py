@@ -25,23 +25,43 @@ def slope_bench(name, op, x, n1=20, n2=120, reps=3, params=None):
     """
 
     def run(p, x0, n):
+        # Carry BOTH the op input and a live accumulator of the op's output.
+        # The input is multiplicatively perturbed by the (runtime-unknown)
+        # accumulator so the op body is provably loop-variant — a plain
+        # ``carry + sum(y)*1e-30`` feedback has been observed getting
+        # optimized to a no-op loop by the remote compiler (slope ≈ 0 with
+        # no RTT in the intercept), silently voiding the measurement.
         def body(i, carry):
-            y = op(carry) if p is None else op(p, carry)
-            # *1e-30, not *0: XLA folds mul-by-zero and would DCE the op
-            return carry + jnp.sum(y).astype(carry.dtype) * 1e-30
+            xc, acc = carry
+            y = op(xc) if p is None else op(p, xc)
+            acc = acc + jnp.sum(y).astype(jnp.float32)
+            xc = xc * (1.0 + jnp.tanh(acc) * 1e-7).astype(xc.dtype)
+            return xc, acc
 
-        return jax.lax.fori_loop(0, n, body, x0)
+        xf, accf = jax.lax.fori_loop(0, n, body, (x0, jnp.float32(0.0)))
+        return accf
 
     fn = jax.jit(run)
+
+    import numpy as np
+
+    def sync(y):
+        # On the axon relay ``block_until_ready`` has been observed to
+        # return without waiting for device compute — only an actual
+        # device→host transfer is a reliable sync point. Pull the scalar
+        # accumulator to host; the ~29 ms transfer RTT lands in the
+        # intercept and cancels out of the slope.
+        return float(np.asarray(y))
+
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(params, x, n1))
+    sync(fn(params, x, n1))
     compile_s = time.perf_counter() - t0
 
     def best(n):
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(params, x, n))
+            sync(fn(params, x, n))
             ts.append(time.perf_counter() - t0)
         return min(ts) * 1000.0  # ms
 

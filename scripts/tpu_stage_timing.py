@@ -133,34 +133,40 @@ def main():
         )
 
     if "netsub" in STAGES:
-        # amortized per-net cost (dependency-chained fori_loop, one dispatch)
+        # amortized per-net cost (dependency-chained fori_loop, one dispatch);
+        # NET_BATCH=k measures the batched (DP) nets — the models all take a
+        # leading batch axis natively
+        import os
+
+        NB = int(os.environ.get("NET_BATCH", "1"))
         mel = jnp.asarray(
-            np.random.default_rng(2).standard_normal((1, 128, cfg.rmvpe_n_frames))
+            np.random.default_rng(2).standard_normal((NB, 128, cfg.rmvpe_n_frames))
             .astype(np.float32)
         )
         T = cfg.return_length
         phone = jnp.asarray(
-            np.random.default_rng(3).standard_normal((1, T, pipe.synth_cfg.feature_dim))
+            np.random.default_rng(3).standard_normal((NB, T, pipe.synth_cfg.feature_dim))
             .astype(np.float32) * 0.1
         )
-        pitch = jnp.ones((1, T), jnp.int32)
-        pitchf = jnp.full((1, T), 220.0)
-        sid = jnp.zeros((1,), jnp.int32)
+        pitch = jnp.ones((NB, T), jnp.int32)
+        pitchf = jnp.full((NB, T), 220.0)
+        sid = jnp.zeros((NB,), jnp.int32)
+        wav = jnp.broadcast_to(buf16[None], (NB, buf16.shape[0]))
 
         loop_bench(
-            "contentvec",
+            f"contentvec B={NB}",
             lambda p, x: pipe.contentvec.apply(p, x),
-            buf16[None],
+            wav,
                         params=params["contentvec"],
         )
         loop_bench(
-            "rmvpe",
+            f"rmvpe B={NB}",
             lambda p, m: pipe.rmvpe.apply(p, m),
             mel,
                         params=params["rmvpe"],
         )
         loop_bench(
-            "synth",
+            f"synth B={NB}",
             lambda pr, p: pipe.synthesizer.apply(pr, p, pitch, pitchf, sid).astype(
                 jnp.float32
             ),
@@ -188,30 +194,53 @@ def main():
 
     if "steploop" in STAGES:
         # true sustained per-chunk device cost: N steps chained through
-        # carried state inside ONE executable, traced count → slope
-        controls = StepControls.default()
-        chunk = jnp.asarray(
-            np.random.default_rng(7).standard_normal(cfg.sample_frame_size)
-            .astype(np.float32) * 0.1
-        )
-        state0 = jax.tree.map(jnp.asarray, StreamState.init(cfg))
+        # carried state inside ONE executable, traced count → slope.
+        # STEPLOOP_BATCH=k measures the vmapped (DP) step.
+        import os
+
+        B = int(os.environ.get("STEPLOOP_BATCH", "1"))
+        controls1 = StepControls.default()
+        rng7 = np.random.default_rng(7)
+        if B == 1:
+            controls = controls1
+            chunk = jnp.asarray(
+                rng7.standard_normal(cfg.sample_frame_size).astype(np.float32) * 0.1
+            )
+            state0 = jax.tree.map(jnp.asarray, StreamState.init(cfg))
+            stepfn = pipe.step
+        else:
+            controls = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (B,) + x.shape), controls1
+            )
+            chunk = jnp.asarray(
+                rng7.standard_normal((B, cfg.sample_frame_size)).astype(np.float32) * 0.1
+            )
+            state0 = jax.tree.map(jnp.asarray, StreamState.init_batch(cfg, B))
+            stepfn = jax.vmap(pipe.step, in_axes=(None, 0, 0, 0))
 
         def steploop(p, st, n):
             def body(i, s):
-                new_s, _out = pipe.step(p, s, chunk, controls)
+                new_s, _out = stepfn(p, s, chunk, controls)
                 return new_s
-            return jax.lax.fori_loop(0, n, body, st)
+            final = jax.lax.fori_loop(0, n, body, st)
+            # scalar probe of the final state: the device→host pull below is
+            # the only reliable sync on the axon relay (see benchlib.sync)
+            return final, jnp.sum(final.sola_buffer)
 
         fn = jax.jit(steploop)
+
+        def sync(res):
+            return float(np.asarray(res[1]))
+
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(params, state0, 5))
+        sync(fn(params, state0, 5))
         print(f"steploop     compile {time.perf_counter()-t0:7.1f}s", flush=True)
 
         def best(n, reps=3):
             ts = []
             for _ in range(reps):
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn(params, state0, n))
+                sync(fn(params, state0, n))
                 ts.append(time.perf_counter() - t0)
             return min(ts) * 1000.0
 
@@ -219,8 +248,9 @@ def main():
         t1, t2 = best(n1), best(n2)
         per = (t2 - t1) / (n2 - n1)
         print(
-            f"steploop     {per:8.2f} ms/chunk sustained"
-            f"   (fixed {t1 - n1*per:.1f} ms; {cfg.latency_seconds/ (per/1000):.0f}x realtime)",
+            f"steploop B={B}  {per:8.2f} ms/chunk sustained"
+            f"   (fixed {t1 - n1*per:.1f} ms; {B * cfg.latency_seconds / (per/1000):.0f}x"
+            f" realtime aggregate; {B * cfg.latency_seconds / (per/1000):.1f} audio-s/s)",
             flush=True,
         )
 
