@@ -23,7 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel(q_ref, vt_ref, norm_ref, val_ref, idx_ref, best_val, best_idx, *, k, block_n):
+def _kernel(q_ref, v_ref, norm_ref, val_ref, idx_ref, best_val, best_idx, *, k, block_n):
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
 
@@ -32,9 +32,17 @@ def _kernel(q_ref, vt_ref, norm_ref, val_ref, idx_ref, best_val, best_idx, *, k,
         best_val[:] = jnp.full_like(best_val, NEG_INF)
         best_idx[:] = jnp.zeros_like(best_idx)
 
-    # scores for this slab: [Q, BLOCK_N]
+    # scores for this slab: [Q, BLOCK_N]. The slab arrives untransposed
+    # [BLOCK_N, C] in its native dtype (bf16 halves the HBM stream of the
+    # bandwidth-bound search); contraction on C is the natural MXU form.
     scores = (
-        2.0 * jnp.dot(q_ref[:], vt_ref[:], preferred_element_type=jnp.float32)
+        2.0
+        * jax.lax.dot_general(
+            q_ref[:],
+            v_ref[:],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         - norm_ref[:]
     )
     base = step * block_n
@@ -118,7 +126,7 @@ def topk_l2_pallas(
         ),
         in_specs=[
             pl.BlockSpec((Q, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -130,6 +138,6 @@ def topk_l2_pallas(
             pltpu.VMEM((Q, k), jnp.int32),
         ],
         interpret=interpret,
-    )(queries.astype(jnp.float32), vectors.T.astype(jnp.float32), norms[None, :].astype(jnp.float32))
+    )(queries.astype(vectors.dtype), vectors, norms[None, :].astype(jnp.float32))
 
     return vals, idxs

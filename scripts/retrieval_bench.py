@@ -1,0 +1,64 @@
+"""1M-vector retrieval cost on the real chip (BASELINE config 4).
+
+Compares the XLA path (`knn_blend`, lax.top_k over the full [Q, N] scores)
+with the Pallas blocked top-k kernel, each with f32 and bf16 tables.
+Amortized slope timing via `benchlib.slope_bench` (transfer-forced sync).
+
+Env: RETRIEVAL_N (default 1_000_000), RETRIEVAL_Q (default 120).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from benchlib import slope_bench
+from obs_rvc_tpu.retrieval.index import knn_blend
+from obs_rvc_tpu.ops.topk import topk_l2_pallas
+
+
+def main():
+    N = int(os.environ.get("RETRIEVAL_N", "1000000"))
+    Q = int(os.environ.get("RETRIEVAL_Q", "120"))
+    C = 768
+    interpret = jax.default_backend() == "cpu"  # Pallas needs interpret on CPU
+
+    rng = np.random.default_rng(0)
+    table = rng.standard_normal((N, C)).astype(np.float32)
+    norms = np.sum(table * table, axis=-1)
+    phone = rng.standard_normal((1, Q, C)).astype(np.float32) * 0.3
+
+    for dtype, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        v = jax.device_put(jnp.asarray(table, dtype))
+        nrm = jax.device_put(jnp.asarray(norms))
+        q0 = jax.device_put(jnp.asarray(phone))
+        jax.block_until_ready((v, nrm, q0))
+
+        # feedback-friendly: blend output has the query's shape
+        slope_bench(
+            f"knn_blend_{tag}",
+            lambda p, q: knn_blend(p["v"], p["n"], q, 0.75),
+            q0,
+            n1=4,
+            n2=24,
+            params={"v": v, "n": nrm},
+        )
+        slope_bench(
+            f"pallas_topk_{tag}",
+            lambda p, q: topk_l2_pallas(
+                q[0], p["v"], p["n"], k=8, interpret=interpret
+            )[0][None],
+            q0,
+            n1=4,
+            n2=24,
+            params={"v": v, "n": nrm},
+        )
+        del v, nrm, q0
+
+
+if __name__ == "__main__":
+    main()

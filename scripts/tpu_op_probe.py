@@ -12,21 +12,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def loop_bench(name, op, x, iters=100):
-    def body(i, carry):
-        y = op(carry)
-        return carry + jnp.sum(y).astype(carry.dtype) * 1e-30
+from benchlib import slope_bench
 
-    fn = jax.jit(lambda x0: jax.lax.fori_loop(0, iters, body, x0))
-    t0 = time.perf_counter()
-    jax.block_until_ready(fn(x))
-    compile_s = time.perf_counter() - t0
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        jax.block_until_ready(fn(x))
-    total_ms = (time.perf_counter() - t0) / reps * 1000
-    print(f"{name:24s} compile {compile_s:6.1f}s   {total_ms/iters*1000:9.1f} us/op", flush=True)
+
+def loop_bench(name, op, x, iters=None):
+    # shared slope harness: transfer-forced sync + loop-variant feedback
+    # (docs/DEVELOPMENT.md 3b) — the old local version measured nothing
+    # once the relay stopped honoring block_until_ready
+    slope_bench(name, op, x)
 
 
 def main():

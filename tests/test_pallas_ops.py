@@ -69,3 +69,19 @@ def test_topk_pallas_exact_neighbors():
         k=4, block_n=128, interpret=INTERPRET,
     )
     np.testing.assert_array_equal(np.asarray(idx)[:, 0], [7, 100, 255])
+
+
+def test_topk_pallas_bf16_table_exact_neighbors():
+    """bf16 table streams through the kernel in its native dtype (no
+    upcast copy); with separated vectors the neighbors are still exact."""
+    rng = np.random.default_rng(4)
+    C = 32
+    vectors = (rng.standard_normal((256, C)) * 8).astype(np.float32)
+    v16 = jnp.asarray(vectors, jnp.bfloat16)
+    queries = vectors[[3, 77, 200]] + 0.01
+    norms = (np.asarray(v16, np.float32) ** 2).sum(-1)
+    _, idx = topk_l2_pallas(
+        jnp.asarray(queries), v16, jnp.asarray(norms),
+        k=4, block_n=128, interpret=INTERPRET,
+    )
+    np.testing.assert_array_equal(np.asarray(idx)[:, 0], [3, 77, 200])
