@@ -174,7 +174,9 @@ class BiGRU(nn.Module):
                 return h_new, h_new
 
             h0 = jnp.zeros((2, x.shape[0], H), dtype=self.dtype)
-            _, ys = jax.lax.scan(step, h0, jnp.moveaxis(gi, 2, 0))  # [T, 2, B, H]
+            # unroll: each step is a tiny [B,H]x[H,3H] matmul — sequential-loop
+            # overhead dominates on TPU, so let XLA schedule 8 steps per trip
+            _, ys = jax.lax.scan(step, h0, jnp.moveaxis(gi, 2, 0), unroll=8)  # [T, 2, B, H]
             fwd = jnp.swapaxes(ys[:, 0], 0, 1)            # [B, T, H]
             bwd = jnp.swapaxes(ys[:, 1], 0, 1)[:, ::-1, :]  # un-reverse
             x = jnp.concatenate([fwd, bwd], axis=-1)

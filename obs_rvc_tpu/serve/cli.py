@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     # extras beyond the reference
     p.add_argument("--speaker-id", type=int, default=0)
     p.add_argument("--f0-median-radius", type=int, default=0)
+    p.add_argument("--phase-vocoder", action="store_true",
+                   help="phase-corrected SOLA crossfade (the reference's lib.rs:778 TODO)")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--metrics-json", action="store_true", help="print metrics JSON to stderr")
     return p
@@ -93,6 +95,7 @@ def main(argv=None) -> None:
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         pitch_algorithm=str(settings.pitch_algorithm),
         keyshift=int(round(args.resonance_shift)),
+        phase_vocoder=args.phase_vocoder,
     )
     params = load_pipeline_params(
         pipe,

@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--extra-inference-time", type=float, default=2.00)
     p.add_argument("--skip-inference", action="store_true")
     p.add_argument("--speaker-id", type=int, default=0)
+    p.add_argument("--f0-median-radius", type=int, default=0)
+    p.add_argument("--phase-vocoder", action="store_true")
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--stage-timing", action="store_true",
                    help="collect per-stage p50s into /metrics (forces per-stage sync)")
@@ -94,6 +96,8 @@ def build_pipeline(args):
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         pitch_algorithm=str(settings.pitch_algorithm),
         keyshift=int(round(args.resonance_shift)),
+        f0_median_radius=args.f0_median_radius,
+        phase_vocoder=args.phase_vocoder,
     )
     params = load_pipeline_params(
         pipe,

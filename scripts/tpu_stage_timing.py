@@ -12,7 +12,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from obs_rvc_tpu.config import StreamSettings
+from obs_rvc_tpu.models.checkpoints import enable_compilation_cache
 from obs_rvc_tpu.stream import RvcPipeline, StepControls, StreamState
+
+enable_compilation_cache()
 
 STAGES = sys.argv[1:] or ["mel", "rmvpe", "contentvec", "synth", "dsp", "step"]
 
