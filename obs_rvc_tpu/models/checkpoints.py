@@ -193,10 +193,19 @@ def load_pipeline_params(
 
         import numpy as _np
 
-        params["index"] = RetrievalIndex.make_params(
-            load_index_vectors(index_path),
-            dtype=index_dtype if index_dtype is not None else _np.float32,
-        )
+        dt = index_dtype if index_dtype is not None else _np.float32
+        ridx = getattr(pipeline, "retrieval_index", None)
+        if ridx is not None and getattr(ridx, "mode", "exact") == "ivf":
+            from obs_rvc_tpu.retrieval.build import load_or_train_ivf
+
+            # records the static slab length (lcap) on the index object
+            params["index"] = ridx.make_ivf_params(
+                load_or_train_ivf(index_path), dtype=dt, lcap=ridx.lcap
+            )
+        else:
+            params["index"] = RetrievalIndex.make_params(
+                load_index_vectors(index_path), dtype=dt
+            )
 
     return params
 

@@ -52,14 +52,97 @@ def extract_features(
     return np.concatenate(rows, axis=0)
 
 
+def default_nlist(n: int) -> int:
+    """RVC's IVF sizing rule: ``min(16·√N, N/39)``, floored at 4
+    (``infer/modules/train/extract_feature_print.py`` lineage — the rule the
+    artifacts in the wild were built with)."""
+    return max(4, min(int(16 * np.sqrt(n)), n // 39 if n >= 156 else 4))
+
+
+def train_ivf(
+    features: np.ndarray,
+    nlist: Optional[int] = None,
+    iters: int = 10,
+    seed: int = 0,
+    batch: int = 65536,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Lloyd k-means over feature rows → ``(centroids [nlist, C],
+    assignments [N] int32)`` for IVF list construction.
+
+    Runs as jitted JAX chunks (CPU in tests, TPU at scale); distance blocks
+    are ``[batch, nlist]`` so memory stays bounded at any N. Empty clusters
+    are re-seeded from the rows farthest from their centroid."""
+    x = np.ascontiguousarray(features, dtype=np.float32)
+    n, c = x.shape
+    if nlist is None:
+        nlist = default_nlist(n)
+    nlist = min(nlist, n)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(n, nlist, replace=False)].copy()
+
+    @jax.jit
+    def assign_block(xb, cent):
+        d = (
+            jnp.sum(cent * cent, axis=1)[None, :]
+            - 2.0 * xb @ cent.T
+        )
+        a = jnp.argmin(d, axis=1)
+        return a, jnp.min(d, axis=1)
+
+    assignments = np.zeros(n, dtype=np.int32)
+    for _ in range(max(1, iters)):
+        dmin = np.zeros(n, dtype=np.float32)
+        cj = jnp.asarray(cent)
+        for s in range(0, n, batch):
+            a, d = assign_block(jnp.asarray(x[s : s + batch]), cj)
+            assignments[s : s + batch] = np.asarray(a, dtype=np.int32)
+            dmin[s : s + batch] = np.asarray(d)
+        counts = np.bincount(assignments, minlength=nlist)
+        sums = np.zeros((nlist, c), dtype=np.float64)
+        np.add.at(sums, assignments, x)
+        nonzero = counts > 0
+        cent[nonzero] = (sums[nonzero] / counts[nonzero, None]).astype(np.float32)
+        for li in np.nonzero(~nonzero)[0]:  # re-seed empties at outliers
+            far = int(np.argmax(dmin))
+            cent[li] = x[far]
+            dmin[far] = -1.0
+    # final assignment against the last centroid update
+    cj = jnp.asarray(cent)
+    for s in range(0, n, batch):
+        a, _ = assign_block(jnp.asarray(x[s : s + batch]), cj)
+        assignments[s : s + batch] = np.asarray(a, dtype=np.int32)
+    return cent, assignments
+
+
+def load_or_train_ivf(path: str | pathlib.Path, nlist: Optional[int] = None,
+                      kmeans_iters: int = 10, seed: int = 0):
+    """Load an artifact for ivf-mode search: faiss ``.index`` files carry
+    their coarse structure; flat ``.npy``/``.npz``/``.onnx`` tables get a
+    k-means quantizer trained at load (RVC's nlist sizing rule)."""
+    from obs_rvc_tpu.retrieval.faiss_reader import (
+        IvfFlatIndex, load_index_vectors, read_ivf_flat_full,
+    )
+
+    p = pathlib.Path(path)
+    if p.suffix.lower() not in (".npy", ".npz", ".onnx"):
+        return read_ivf_flat_full(p)
+    table = load_index_vectors(p)
+    cent, assign = train_ivf(table, nlist=nlist, iters=kmeans_iters, seed=seed)
+    return IvfFlatIndex(vectors=table, centroids=cent, assignments=assign, nprobe=1)
+
+
 def build_index(
     features: np.ndarray,
     save_path: Optional[str | pathlib.Path] = None,
     max_vectors: Optional[int] = None,
     seed: int = 0,
+    nlist: Optional[int] = None,
+    kmeans_iters: int = 10,
 ) -> np.ndarray:
     """Feature rows → retrieval table (optionally subsampled), saved in the
-    format implied by ``save_path``'s suffix (.npy / .index / .onnx)."""
+    format implied by ``save_path``'s suffix (.npy / .index / .onnx).
+    ``.index`` artifacts get a real trained coarse quantizer (k-means), so
+    they probe correctly both in faiss and in our ivf search mode."""
     table = np.ascontiguousarray(features, dtype=np.float32)
     if max_vectors is not None and len(table) > max_vectors:
         idx = np.random.default_rng(seed).choice(len(table), max_vectors, replace=False)
@@ -71,7 +154,8 @@ def build_index(
         elif save_path.suffix == ".index":
             from obs_rvc_tpu.retrieval.faiss_reader import write_ivf_flat
 
-            write_ivf_flat(save_path, table, nlist=max(4, int(np.sqrt(len(table)))))
+            cent, assign = train_ivf(table, nlist=nlist, iters=kmeans_iters, seed=seed)
+            write_ivf_flat(save_path, table, centroids=cent, assignments=assign)
         elif save_path.suffix == ".onnx":
             from obs_rvc_tpu.models.onnx_reader import write_onnx_weights
 

@@ -9,18 +9,34 @@ We parse the faiss binary format directly (no faiss dependency):
 ``IwFl`` (IndexIVFFlat) → header → ``IxF2``/``IxFI``/``IxFl`` flat
 quantizer → direct map → ``ilar`` ArrayInvertedLists with ``full`` lists.
 Only what RVC writes is supported; anything else raises with the offending
-fourcc. For TPU serving we discard the IVF coarse structure and return the
-flat ``[N, C]`` table (exact brute-force search on MXU beats IVF's pruning
-at these sizes, and shards cleanly).
+fourcc. Two consumption modes downstream:
+
+- exact: discard the coarse structure, brute-force the flat ``[N, C]`` table
+  on the MXU (``load_index_vectors``);
+- ivf: keep centroids + list assignments (``read_ivf_flat_full``) and probe
+  a chunk-level union of lists (``retrieval.index.ivf_knn_blend``) — the
+  TPU-native analog of faiss's ``nprobe`` search that RVC uses in
+  production (``index.nprobe = 1`` in the RVC WebUI inference path).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import pathlib
 import struct
 from typing import BinaryIO
 
 import numpy as np
+
+
+@dataclasses.dataclass
+class IvfFlatIndex:
+    """Parsed IndexIVFFlat: flat table in insertion order + coarse structure."""
+
+    vectors: np.ndarray       # [N, C] float32, original insertion order
+    centroids: np.ndarray     # [nlist, C] float32 coarse quantizer
+    assignments: np.ndarray   # [N] int32 — list id of each row
+    nprobe: int = 1
 
 
 def _u32(f: BinaryIO) -> int:
@@ -66,18 +82,19 @@ def _read_flat_index(f: BinaryIO) -> np.ndarray:
     return xb.reshape(ntotal, d)
 
 
-def read_ivf_flat(path: str | pathlib.Path) -> np.ndarray:
-    """Parse a faiss ``IndexIVFFlat`` file → dense ``[ntotal, d]`` float32
-    table, rows restored to original insertion order via the stored ids."""
+def read_ivf_flat_full(path: str | pathlib.Path) -> IvfFlatIndex:
+    """Parse a faiss ``IndexIVFFlat`` file → :class:`IvfFlatIndex` with rows
+    restored to original insertion order via the stored ids, plus the coarse
+    quantizer centroids and per-row list assignments."""
     with open(path, "rb") as f:
         h = _fourcc(_u32(f))
         if h != "IwFl":
             raise ValueError(f"not an IndexIVFFlat file (fourcc {h!r})")
         d, ntotal, _metric = _read_index_header(f)
         nlist = _u64(f)
-        _nprobe = _u64(f)
+        nprobe = _u64(f)
 
-        _centroids = _read_flat_index(f)  # coarse quantizer (unused for exact search)
+        centroids = _read_flat_index(f)  # coarse quantizer
 
         # direct map: type byte + idx vector
         f.read(1)
@@ -100,25 +117,43 @@ def read_ivf_flat(path: str | pathlib.Path) -> np.ndarray:
             raise ValueError("corrupt sizes vector")
 
         out = np.zeros((ntotal, d), dtype=np.float32)
+        assignments = np.zeros(ntotal, dtype=np.int32)
         seen = 0
-        for sz in sizes:
+        for li, sz in enumerate(sizes):
             sz = int(sz)
             if sz == 0:
                 continue
             ids = np.frombuffer(f.read(8 * sz), dtype=np.int64)
             codes = np.frombuffer(f.read(code_size * sz), dtype=np.float32).reshape(sz, d)
             out[ids] = codes
+            assignments[ids] = li
             seen += sz
         if seen != ntotal:
             raise ValueError(f"list sizes sum {seen} != ntotal {ntotal}")
-        return out
+        return IvfFlatIndex(
+            vectors=out,
+            centroids=centroids,
+            assignments=assignments,
+            nprobe=max(1, int(nprobe)),
+        )
+
+
+def read_ivf_flat(path: str | pathlib.Path) -> np.ndarray:
+    """Parse a faiss ``IndexIVFFlat`` file → dense ``[ntotal, d]`` float32
+    table, rows restored to original insertion order via the stored ids."""
+    return read_ivf_flat_full(path).vectors
 
 
 def load_index_vectors(path: str | pathlib.Path) -> np.ndarray:
     """Load retrieval vectors from any RVC artifact: faiss ``.index``,
-    ``.npy`` feature dump, or ``.npz`` with a ``vectors`` array."""
+    ``.npy`` feature dump, ``.npz`` with a ``vectors`` array, or the
+    ``.onnx`` weights container :func:`build.build_index` writes."""
     path = pathlib.Path(path)
     suffix = path.suffix.lower()
+    if suffix == ".onnx":
+        from obs_rvc_tpu.models.onnx_reader import read_onnx_initializers
+
+        return np.asarray(read_onnx_initializers(path)["vectors"], dtype=np.float32)
     if suffix == ".npy":
         return np.asarray(np.load(path), dtype=np.float32)
     if suffix == ".npz":
@@ -126,14 +161,31 @@ def load_index_vectors(path: str | pathlib.Path) -> np.ndarray:
     return read_ivf_flat(path)
 
 
-def write_ivf_flat(path: str | pathlib.Path, vectors: np.ndarray, nlist: int = 4) -> None:
-    """Write a minimal faiss-compatible IndexIVFFlat file (round-trip tested
-    against :func:`read_ivf_flat`; vectors assigned to lists by a trivial
-    hash — sufficient for exact-search consumers, which ignore the coarse
-    structure). Useful for tests and for exporting tables to faiss users."""
+def write_ivf_flat(
+    path: str | pathlib.Path,
+    vectors: np.ndarray,
+    nlist: int = 4,
+    centroids: np.ndarray | None = None,
+    assignments: np.ndarray | None = None,
+    nprobe: int = 1,
+) -> None:
+    """Write a faiss-compatible IndexIVFFlat file (round-trip tested against
+    :func:`read_ivf_flat_full`). With ``centroids``/``assignments`` (e.g.
+    from :func:`obs_rvc_tpu.retrieval.build.train_ivf`) the coarse structure
+    is real and the artifact probes correctly in faiss and in our ivf search
+    mode; without them vectors are assigned by a trivial hash to zero
+    centroids — sufficient only for exact-search consumers."""
     v = np.ascontiguousarray(vectors, dtype=np.float32)
     n, d = v.shape
-    assign = np.arange(n) % nlist
+    if (centroids is None) != (assignments is None):
+        raise ValueError("centroids and assignments must be given together")
+    if centroids is not None:
+        nlist = len(centroids)
+        assign = np.asarray(assignments, dtype=np.int64)
+        if assign.shape != (n,) or (n and (assign.min() < 0 or assign.max() >= nlist)):
+            raise ValueError("bad assignments")
+    else:
+        assign = np.arange(n) % nlist
 
     def w_u32(f, x):
         f.write(struct.pack("<I", x))
@@ -151,8 +203,8 @@ def write_ivf_flat(path: str | pathlib.Path, vectors: np.ndarray, nlist: int = 4
         f.write(b"\x01")  # is_trained
         f.write(struct.pack("<i", 1))  # METRIC_L2
         w_u64(f, nlist)
-        w_u64(f, 1)  # nprobe
-        # quantizer: IxF2 with nlist centroids (zeros)
+        w_u64(f, nprobe)
+        # quantizer: IxF2 with nlist centroids
         w_u32(f, struct.unpack("<I", b"IxF2")[0])
         f.write(struct.pack("<i", d))
         w_u64(f, nlist)
@@ -160,7 +212,13 @@ def write_ivf_flat(path: str | pathlib.Path, vectors: np.ndarray, nlist: int = 4
         w_u64(f, 1 << 20)
         f.write(b"\x01")
         f.write(struct.pack("<i", 1))
-        cent = np.zeros((nlist, d), dtype=np.float32)
+        cent = (
+            np.zeros((nlist, d), dtype=np.float32)
+            if centroids is None
+            else np.ascontiguousarray(centroids, dtype=np.float32)
+        )
+        if cent.shape != (nlist, d):
+            raise ValueError(f"centroids shape {cent.shape} != ({nlist}, {d})")
         w_u64(f, cent.size)
         f.write(cent.tobytes())
         # direct map: NoMap + empty vector

@@ -12,6 +12,18 @@ terms; ``jax.lax.top_k`` over N. For multi-chip, the table is sharded along
 the ``model`` mesh axis: each shard computes a local top-k (k · n_shards
 candidates total), candidates are all-gathered (tiny: k·(C+1) floats per
 frame) and reduced to the global top-k — the classic distributed-top-k merge.
+
+IVF mode (``ivf_knn_blend``): the TPU-native analog of the faiss ``nprobe``
+search RVC runs in production (``index.nprobe = 1``). Ragged inverted lists
+are hostile to XLA, so instead of per-query list gathers we probe a
+**chunk-level union**: rank lists by centroid distance over all of the
+chunk's queries (force-including every query's own top-``nprobe`` lists),
+take the top ``probes`` lists, and slab-gather them from a list-major
+reordered table with fixed-size ``dynamic_slice`` windows — static shapes
+throughout, contiguous HBM reads. Every query then scores the whole union,
+so recall is a strict superset of faiss ``nprobe``-probing whenever the
+number of distinct probed lists in the chunk ≤ ``probes`` (guaranteed at the
+default ``probes ≥ B·T``).
 """
 
 from __future__ import annotations
@@ -37,16 +49,80 @@ def knn_blend(
     # squared L2 = |q|² - 2 q·v + |v|² ; |q|² is constant per row for top-k
     scores = -2.0 * jnp.dot(q, vectors.T, preferred_element_type=jnp.float32) + norms[None, :]
     neg_dist, idx = jax.lax.top_k(-scores, k)  # smallest distances
-    d2 = neg_dist * -1.0 + jnp.sum(q * q, axis=-1, keepdims=True)
-    d2 = jnp.maximum(d2, 1e-10)
+    neighbors = vectors[idx]  # [BT, k, C]
+    return _blend(q, neighbors, neg_dist, phone, index_rate)
 
+
+def _blend(q: jnp.ndarray, neighbors: jnp.ndarray, neg_scores: jnp.ndarray,
+           phone: jnp.ndarray, index_rate) -> jnp.ndarray:
+    """Common RVC blend tail: ``neg_scores = 2 q·v − |v|²`` (descending) for
+    the chosen ``neighbors [BT, k, C]`` → weighted mix into ``phone``."""
+    B, T, C = phone.shape
+    d2 = -neg_scores + jnp.sum(q * q, axis=-1, keepdims=True)
+    d2 = jnp.maximum(d2, 1e-10)
     weight = (1.0 / d2) ** 2
     weight = weight / jnp.sum(weight, axis=-1, keepdims=True)
-    neighbors = vectors[idx]  # [BT, k, C]
-    mixed = jnp.sum(neighbors * weight[..., None], axis=1).reshape(B, T, C)
-
+    mixed = jnp.sum(neighbors.astype(jnp.float32) * weight[..., None], axis=1)
     rate = jnp.asarray(index_rate, jnp.float32)
-    return rate * mixed + (1.0 - rate) * phone
+    return rate * mixed.reshape(B, T, C) + (1.0 - rate) * phone
+
+
+def ivf_knn_blend(
+    vectors: jnp.ndarray,     # [N + lcap, C] list-major reordered (+ padding rows)
+    norms: jnp.ndarray,       # [N + lcap] squared norms (padding rows = +inf)
+    lengths: jnp.ndarray,     # [nlist] int32 true list lengths
+    offsets: jnp.ndarray,     # [nlist] int32 row offset of each list
+    centroids: jnp.ndarray,   # [nlist, C] coarse quantizer
+    cnorms: jnp.ndarray,      # [nlist] centroid squared norms
+    phone: jnp.ndarray,       # [B, T, C] query features
+    index_rate: jnp.ndarray | float,
+    k: int = 8,
+    probes: int = 64,
+    lcap: int = 128,
+    nprobe: int = 1,
+) -> jnp.ndarray:
+    """Chunk-union IVF probe + exact search over the probed subset."""
+    B, T, C = phone.shape
+    q = phone.reshape(B * T, C).astype(jnp.float32)
+    nlist = centroids.shape[0]
+    probes = min(probes, nlist)
+
+    # centroid distances (up to the per-query |q|² constant): [BT, nlist]
+    cd = cnorms[None, :] - 2.0 * jnp.dot(
+        q, centroids.T.astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+    # chunk-level list ranking: closest-any-query first…
+    list_score = -jnp.min(cd, axis=0)  # [nlist]
+    # …with every query's own top-nprobe lists force-included (faiss recall
+    # guarantee whenever distinct probed lists ≤ probes)
+    _, query_lists = jax.lax.top_k(-cd, min(nprobe, nlist))  # [BT, nprobe]
+    list_score = list_score.at[query_lists.reshape(-1)].add(1e30)
+    _, probe_ids = jax.lax.top_k(list_score, probes)  # [probes]
+
+    offs = offsets[probe_ids]  # [P]
+
+    def slab(o):
+        return (
+            jax.lax.dynamic_slice(vectors, (o, 0), (lcap, C)),
+            jax.lax.dynamic_slice(norms, (o,), (lcap,)),
+        )
+
+    slabs, slab_norms = jax.vmap(slab)(offs)  # [P, lcap, C], [P, lcap]
+    # rows past a list's true end belong to the next list (or padding) —
+    # mask them out so nothing is double-counted across probed lists
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (probes, lcap), 1)
+        < jnp.minimum(lengths[probe_ids], lcap)[:, None]
+    )
+    sub = slabs.reshape(probes * lcap, C)
+    subn = jnp.where(valid.reshape(-1), slab_norms.reshape(-1), 1e30)
+
+    scores = 2.0 * jnp.dot(
+        q.astype(sub.dtype), sub.T, preferred_element_type=jnp.float32
+    ) - subn[None, :]
+    neg_scores, idx = jax.lax.top_k(scores, k)  # descending score
+    neighbors = sub[idx]  # [BT, k, C]
+    return _blend(q, neighbors, neg_scores, phone, index_rate)
 
 
 def sharded_knn_blend(
@@ -92,11 +168,25 @@ def sharded_knn_blend(
 
 class RetrievalIndex:
     """Holds static retrieval config; the table itself lives in the params
-    pytree under ``"index"`` so it shards/donates like any other weight."""
+    pytree under ``"index"`` so it shards/donates like any other weight.
 
-    def __init__(self, k: int = 8, mesh: Optional[Mesh] = None):
+    ``mode='ivf'`` probes the coarse structure instead of brute-forcing the
+    table (see :func:`ivf_knn_blend`); ``probes``/``lcap`` are static search
+    geometry — ``lcap`` is set by :meth:`make_ivf_params` at load time,
+    ``probes=None`` auto-sizes to ``max(64, B·T)`` at trace time (the
+    faiss-recall-superset regime)."""
+
+    def __init__(self, k: int = 8, mesh: Optional[Mesh] = None,
+                 mode: str = "exact", probes: Optional[int] = None,
+                 nprobe: int = 1, lcap: Optional[int] = None):
+        if mode not in ("exact", "ivf"):
+            raise ValueError(f"unknown retrieval mode {mode!r}")
         self.k = k
         self.mesh = mesh
+        self.mode = mode
+        self.probes = probes
+        self.nprobe = nprobe
+        self.lcap = lcap
 
     @staticmethod
     def make_params(vectors: np.ndarray, dtype=np.float32) -> dict:
@@ -109,12 +199,60 @@ class RetrievalIndex:
         norms = np.sum(v32 * v32, axis=-1)
         return {"vectors": v32.astype(dtype), "norms": norms}
 
+    def make_ivf_params(self, ivf, dtype=np.float32, lcap: Optional[int] = None) -> dict:
+        """Build the ivf-mode params subtree from a parsed
+        :class:`~obs_rvc_tpu.retrieval.faiss_reader.IvfFlatIndex` (or any
+        object with ``vectors``/``centroids``/``assignments``) and record the
+        static slab length on this index object.
+
+        The table is reordered list-major and padded with ``lcap`` +inf-norm
+        rows so every probed slab is a fixed-size in-bounds slice."""
+        v32 = np.asarray(ivf.vectors, dtype=np.float32)
+        cent = np.asarray(ivf.centroids, dtype=np.float32)
+        assign = np.asarray(ivf.assignments, dtype=np.int64)
+        nlist = len(cent)
+        order = np.argsort(assign, kind="stable")
+        v = v32[order]
+        lengths = np.bincount(assign, minlength=nlist).astype(np.int32)
+        offsets = np.zeros(nlist, dtype=np.int32)
+        offsets[1:] = np.cumsum(lengths[:-1], dtype=np.int64).astype(np.int32)
+        if lcap is None:
+            lcap = max(8, -(-int(lengths.max()) // 8) * 8)  # round up to 8
+        self.lcap = int(lcap)
+        self.nprobe = max(self.nprobe, int(getattr(ivf, "nprobe", 1)))
+        norms = np.sum(v * v, axis=-1)
+        v = np.concatenate([v, np.zeros((lcap, v.shape[1]), np.float32)])
+        norms = np.concatenate([norms, np.full(lcap, 1e30, np.float32)])
+        return {
+            "vectors": v.astype(dtype),
+            "norms": norms.astype(np.float32),
+            "lengths": lengths,
+            "offsets": offsets,
+            "centroids": cent,
+            "cnorms": np.sum(cent * cent, axis=-1).astype(np.float32),
+        }
+
     def blend(self, index_params: Optional[dict], phone: jnp.ndarray,
               index_rate: jnp.ndarray | float) -> jnp.ndarray:
         if index_params is None:
             return phone
         if self.mesh is not None and "model" in self.mesh.axis_names and self.mesh.shape["model"] > 1:
+            # the sharded path stays exact (the brute-force matmul is what
+            # shards cleanly); ivf probing is a single-shard optimization
             return sharded_knn_blend(
                 index_params["vectors"], index_params["norms"], phone, index_rate, self.mesh, self.k
+            )
+        if self.mode == "ivf":
+            if "offsets" not in index_params:
+                raise ValueError("mode='ivf' but params were built by make_params; "
+                                 "load the index with make_ivf_params")
+            B, T, _ = phone.shape
+            probes = self.probes if self.probes is not None else max(64, B * T)
+            return ivf_knn_blend(
+                index_params["vectors"], index_params["norms"],
+                index_params["lengths"], index_params["offsets"],
+                index_params["centroids"], index_params["cnorms"],
+                phone, index_rate, self.k,
+                probes=probes, lcap=self.lcap, nprobe=self.nprobe,
             )
         return knn_blend(index_params["vectors"], index_params["norms"], phone, index_rate, self.k)

@@ -32,6 +32,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--index", help="faiss .index / .npy feature table")
     p.add_argument("--index-dtype", default="float32", choices=["float32", "bfloat16"],
                    help="on-chip table dtype; bfloat16 halves the search's HBM traffic")
+    p.add_argument("--index-mode", default="exact", choices=["exact", "ivf"],
+                   help="retrieval search: brute-force over the table, or TPU-native "
+                        "IVF list probing (the faiss nprobe analog — for big tables)")
+    p.add_argument("--index-probes", type=int, default=0,
+                   help="ivf mode: lists probed per chunk (0 = auto: max(64, frames), "
+                        "the faiss-recall-superset regime)")
     # the 13 settings
     p.add_argument("--model-version", default="v2", choices=["v1", "v2"])
     p.add_argument("--dest-sample-rate", type=int, default=40000)
@@ -91,7 +97,9 @@ def main(argv=None) -> None:
         cfg,
         settings.model_version,
         f0_median_radius=args.f0_median_radius,
-        retrieval_index=RetrievalIndex() if args.index else None,
+        retrieval_index=RetrievalIndex(
+            mode=args.index_mode, probes=args.index_probes or None,
+        ) if args.index else None,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         pitch_algorithm=str(settings.pitch_algorithm),
         keyshift=int(round(args.resonance_shift)),

@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rmvpe")
     p.add_argument("--index")
     p.add_argument("--index-dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--index-mode", default="exact", choices=["exact", "ivf"],
+                   help="retrieval search: brute-force or TPU-native IVF list probing")
+    p.add_argument("--index-probes", type=int, default=0,
+                   help="ivf mode: lists probed per chunk (0 = auto)")
     p.add_argument("--model-version", default="v2", choices=["v1", "v2"])
     p.add_argument("--pitch-algorithm", default="rmvpe", choices=["rmvpe", "crepe", "fcpe"])
     p.add_argument("--crepe")
@@ -92,7 +96,9 @@ def build_pipeline(args):
     pipe = RvcPipeline(
         cfg,
         settings.model_version,
-        retrieval_index=RetrievalIndex() if args.index else None,
+        retrieval_index=RetrievalIndex(
+            mode=args.index_mode, probes=args.index_probes or None,
+        ) if args.index else None,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         pitch_algorithm=str(settings.pitch_algorithm),
         keyshift=int(round(args.resonance_shift)),

@@ -59,6 +59,34 @@ def main():
         )
         del v, nrm, q0
 
+    # ivf mode: probed-union search (retrieval.index.ivf_knn_blend). Search
+    # cost depends only on the list geometry (nlist, lcap, probes), not on
+    # cluster quality, so synthesize equal-size lists instead of running
+    # k-means on random data.
+    from obs_rvc_tpu.retrieval.faiss_reader import IvfFlatIndex
+    from obs_rvc_tpu.retrieval.index import RetrievalIndex
+
+    nlist = max(4, min(int(16 * np.sqrt(N)), N // 39))  # RVC sizing rule
+    assignments = (np.arange(N) * nlist // N).astype(np.int32)  # equal lists
+    centroids = rng.standard_normal((nlist, C)).astype(np.float32)
+    for dtype, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        ridx = RetrievalIndex(mode="ivf", probes=max(64, Q))
+        p = ridx.make_ivf_params(
+            IvfFlatIndex(table, centroids, assignments), dtype=dtype
+        )
+        p = jax.device_put({k: jnp.asarray(v) for k, v in p.items()})
+        q0 = jax.device_put(jnp.asarray(phone))
+        jax.block_until_ready((p, q0))
+        slope_bench(
+            f"ivf_knn_blend_{tag} (nlist={nlist} lcap={ridx.lcap} probes={max(64, Q)})",
+            lambda prm, q: ridx.blend(prm, q, 0.75),
+            q0,
+            n1=4,
+            n2=24,
+            params=p,
+        )
+        del p, q0
+
 
 if __name__ == "__main__":
     main()

@@ -142,6 +142,7 @@ def main():
         import os
 
         NB = int(os.environ.get("NET_BATCH", "1"))
+        NETS = os.environ.get("NETS", "contentvec,rmvpe,synth").split(",")
         mel = jnp.asarray(
             np.random.default_rng(2).standard_normal((NB, 128, cfg.rmvpe_n_frames))
             .astype(np.float32)
@@ -156,26 +157,29 @@ def main():
         sid = jnp.zeros((NB,), jnp.int32)
         wav = jnp.broadcast_to(buf16[None], (NB, buf16.shape[0]))
 
-        loop_bench(
-            f"contentvec B={NB}",
-            lambda p, x: pipe.contentvec.apply(p, x),
-            wav,
-                        params=params["contentvec"],
-        )
-        loop_bench(
-            f"rmvpe B={NB}",
-            lambda p, m: pipe.rmvpe.apply(p, m),
-            mel,
-                        params=params["rmvpe"],
-        )
-        loop_bench(
-            f"synth B={NB}",
-            lambda pr, p: pipe.synthesizer.apply(pr, p, pitch, pitchf, sid).astype(
-                jnp.float32
-            ),
-            phone,
-                        params=params["synthesizer"],
-        )
+        if "contentvec" in NETS:
+            loop_bench(
+                f"contentvec B={NB}",
+                lambda p, x: pipe.contentvec.apply(p, x),
+                wav,
+                params=params["contentvec"],
+            )
+        if "rmvpe" in NETS:
+            loop_bench(
+                f"rmvpe B={NB}",
+                lambda p, m: pipe.rmvpe.apply(p, m),
+                mel,
+                params=params["rmvpe"],
+            )
+        if "synth" in NETS:
+            loop_bench(
+                f"synth B={NB}",
+                lambda pr, p: pipe.synthesizer.apply(pr, p, pitch, pitchf, sid).astype(
+                    jnp.float32
+                ),
+                phone,
+                params=params["synthesizer"],
+            )
 
     if "pre" in STAGES:
         state = StreamState.init(cfg)

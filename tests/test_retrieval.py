@@ -167,3 +167,140 @@ def test_load_pipeline_params_index_dtype(tmp_path):
         pipe, index_path=str(tmp_path / "table.npy"), index_dtype=jnp.bfloat16
     )
     assert params["index"]["vectors"].dtype == jnp.bfloat16
+
+
+# ---------------------------------------------------------------- IVF mode
+
+
+def _clustered(rng, nclust=16, per=12, C=24, spread=0.05):
+    centers = rng.standard_normal((nclust, C)).astype(np.float32) * 3.0
+    vectors = (np.repeat(centers, per, axis=0)
+               + spread * rng.standard_normal((nclust * per, C)).astype(np.float32))
+    return centers, vectors
+
+
+def test_train_ivf_recovers_clusters():
+    from obs_rvc_tpu.retrieval.build import default_nlist, train_ivf
+
+    rng = np.random.default_rng(20)
+    _, vectors = _clustered(rng)
+    cent, assign = train_ivf(vectors, nlist=16, iters=15, seed=1)
+    assert cent.shape == (16, 24) and assign.shape == (192,)
+    # k-means from random init need not recover every cluster exactly, but
+    # the lists must be coherent: most rows share their true cluster's
+    # majority list
+    groups = assign.reshape(16, 12)
+    majority = np.array([np.bincount(g).argmax() for g in groups])
+    assert (groups == majority[:, None]).mean() > 0.9
+    assert default_nlist(100_000) == 2564  # N/39 branch
+    assert default_nlist(100) == 4         # floor
+
+
+def test_faiss_ivf_roundtrip_full(tmp_path):
+    from obs_rvc_tpu.retrieval.build import train_ivf
+    from obs_rvc_tpu.retrieval.faiss_reader import read_ivf_flat_full
+
+    rng = np.random.default_rng(21)
+    _, vectors = _clustered(rng, nclust=5, per=9, C=12)
+    cent, assign = train_ivf(vectors, nlist=5, iters=10, seed=2)
+    path = tmp_path / "voice.index"
+    write_ivf_flat(path, vectors, centroids=cent, assignments=assign, nprobe=3)
+    ivf = read_ivf_flat_full(path)
+    np.testing.assert_array_equal(ivf.vectors, vectors)
+    np.testing.assert_array_equal(ivf.centroids, cent)
+    np.testing.assert_array_equal(ivf.assignments, assign)
+    assert ivf.nprobe == 3
+
+
+def test_ivf_blend_matches_exact_on_clusters():
+    """Chunk-union probing with few probes must equal brute force when
+    queries sit near cluster centers (every relevant list gets probed)."""
+    from obs_rvc_tpu.retrieval.build import train_ivf
+    from obs_rvc_tpu.retrieval.faiss_reader import IvfFlatIndex
+
+    rng = np.random.default_rng(22)
+    centers, vectors = _clustered(rng)
+    cent, assign = train_ivf(vectors, nlist=16, iters=15, seed=3)
+    phone = (centers[:6] + 0.02 * rng.standard_normal((6, 24))
+             ).astype(np.float32).reshape(2, 3, 24)
+
+    idx = RetrievalIndex(mode="ivf", probes=8)
+    p = idx.make_ivf_params(IvfFlatIndex(vectors, cent, assign))
+    got = np.asarray(idx.blend(p, jnp.asarray(phone), 0.8))
+    want = _numpy_reference_blend(vectors, phone, 0.8)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_ivf_blend_all_lists_equals_exact_random():
+    """probes >= nlist searches everything -> exact, even on unclustered
+    data with ragged list sizes."""
+    from obs_rvc_tpu.retrieval.build import train_ivf
+    from obs_rvc_tpu.retrieval.faiss_reader import IvfFlatIndex
+
+    rng = np.random.default_rng(23)
+    vectors = rng.standard_normal((150, 16)).astype(np.float32)
+    cent, assign = train_ivf(vectors, nlist=7, iters=5, seed=4)
+    phone = rng.standard_normal((1, 4, 16)).astype(np.float32)
+
+    idx = RetrievalIndex(mode="ivf", probes=64)  # > nlist -> clipped
+    p = idx.make_ivf_params(IvfFlatIndex(vectors, cent, assign))
+    got = np.asarray(idx.blend(p, jnp.asarray(phone), 0.7))
+    want = _numpy_reference_blend(vectors, phone, 0.7)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_ivf_mode_rejects_flat_params():
+    rng = np.random.default_rng(24)
+    idx = RetrievalIndex(mode="ivf", probes=4, lcap=8)
+    p = RetrievalIndex.make_params(rng.standard_normal((32, 8)).astype(np.float32))
+    with pytest.raises(ValueError, match="make_ivf_params"):
+        idx.blend(p, jnp.zeros((1, 2, 8)), 0.5)
+
+
+def test_ivf_bf16_table():
+    from obs_rvc_tpu.retrieval.build import train_ivf
+    from obs_rvc_tpu.retrieval.faiss_reader import IvfFlatIndex
+
+    rng = np.random.default_rng(25)
+    centers, vectors = _clustered(rng, spread=0.01)
+    cent, assign = train_ivf(vectors, nlist=16, iters=15, seed=5)
+    phone = (centers[:4] + 0.02 * rng.standard_normal((4, 24))
+             ).astype(np.float32).reshape(1, 4, 24)
+
+    idx = RetrievalIndex(mode="ivf", probes=8)
+    p32 = idx.make_ivf_params(IvfFlatIndex(vectors, cent, assign))
+    p16 = idx.make_ivf_params(IvfFlatIndex(vectors, cent, assign), dtype=jnp.bfloat16)
+    assert p16["vectors"].dtype == jnp.bfloat16
+    got32 = np.asarray(idx.blend(p32, jnp.asarray(phone), 0.9))
+    got16 = np.asarray(idx.blend(p16, jnp.asarray(phone), 0.9))
+    np.testing.assert_allclose(got16, got32, rtol=2e-2, atol=2e-2)
+
+
+def test_load_pipeline_params_ivf_mode(tmp_path):
+    """checkpoints.load_pipeline_params builds ivf params for an ivf-mode
+    pipeline: from a faiss artifact (coarse structure reused) and from a
+    flat .npy (quantizer trained at load)."""
+    from obs_rvc_tpu.config import ChunkConfig
+    from obs_rvc_tpu.models.checkpoints import load_pipeline_params
+    from obs_rvc_tpu.retrieval.build import train_ivf
+    from obs_rvc_tpu.stream import RvcPipeline
+
+    rng = np.random.default_rng(26)
+    _, vectors = _clustered(rng, nclust=6, per=8, C=16)
+    cent, assign = train_ivf(vectors, nlist=6, iters=10, seed=6)
+    write_ivf_flat(tmp_path / "voice.index", vectors, centroids=cent,
+                   assignments=assign, nprobe=1)
+    np.save(tmp_path / "voice.npy", vectors)
+
+    cfg = ChunkConfig.build(sample_rate=48000, sample_length=0.10, extra_inference_time=0.50)
+    for artifact in ("voice.index", "voice.npy"):
+        ridx = RetrievalIndex(mode="ivf", probes=6)
+        pipe = RvcPipeline(cfg, retrieval_index=ridx)
+        params = load_pipeline_params(pipe, index_path=str(tmp_path / artifact))
+        assert {"vectors", "norms", "lengths", "offsets", "centroids", "cnorms"} <= set(params["index"])
+        assert ridx.lcap is not None and ridx.lcap % 8 == 0
+        phone = jnp.asarray(vectors[None, :3, :])
+        out = np.asarray(ridx.blend(params["index"], phone, 0.9))
+        # querying table rows exactly: nearest neighbor is the row itself
+        want = _numpy_reference_blend(vectors, np.asarray(phone), 0.9)
+        np.testing.assert_allclose(out, want, rtol=1e-3, atol=1e-4)
