@@ -121,7 +121,13 @@ def main() -> None:
 
     cfg = StreamSettings().chunk_config(48000)
     pipe = RvcPipeline(cfg, compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
-    params = jax.device_put(pipe.init_params_fast(0))
+    params = pipe.init_params_fast(0)
+    if args.dtype == "bfloat16":
+        from obs_rvc_tpu.models.checkpoints import cast_params_for_serving
+
+        # flax casts per-op anyway; pre-cast halves weight HBM traffic
+        params = cast_params_for_serving(params)
+    params = jax.device_put(params)
 
     rng = np.random.default_rng(0)
     controls1 = StepControls.default(pitch_shift=12.0, rms_mix_rate=0.5)

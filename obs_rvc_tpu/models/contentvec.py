@@ -123,6 +123,46 @@ class PositionalConv(nn.Module):
         return nn.gelu(y, approximate=False)
 
 
+class FusedSelfAttention(nn.Module):
+    """Self-attention with a single fused QKV projection.
+
+    Numerically identical to ``nn.MultiHeadDotProductAttention`` (q scaled
+    by 1/sqrt(D) after bias, same-dtype softmax), but one ``[E, 3·E]``
+    matmul instead of three — profiled: flax's per-projection DenseGenerals
+    made XLA slice the ``[768, 12, 64]`` weights per head-group at runtime.
+    Param layout keeps heads as an explicit axis (``qkv_kernel
+    [E, 3, H, D]``) so TP sharding splits heads, never a fused q/k/v mix.
+    """
+
+    config: ContentVecConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, E]
+        cfg = self.config
+        E, H = cfg.dim, cfg.num_heads
+        D = E // H
+        qkv_k = self.param(
+            "qkv_kernel",
+            nn.initializers.lecun_normal(in_axis=0, out_axis=(2, 3), batch_axis=(1,)),
+            (E, 3, H, D),
+        ).astype(cfg.dtype)
+        qkv_b = self.param("qkv_bias", nn.initializers.zeros, (3, H, D)).astype(cfg.dtype)
+        out_k = self.param(
+            "out_kernel",
+            nn.initializers.lecun_normal(in_axis=(0, 1), out_axis=2),
+            (H, D, E),
+        ).astype(cfg.dtype)
+        out_b = self.param("out_bias", nn.initializers.zeros, (E,)).astype(cfg.dtype)
+
+        qkv = jnp.einsum("bte,eshd->btshd", x.astype(cfg.dtype), qkv_k) + qkv_b
+        q = qkv[:, :, 0] / jnp.asarray(D, cfg.dtype) ** 0.5
+        k, v = qkv[:, :, 1], qkv[:, :, 2]                     # [B, T, H, D]
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        w = jax.nn.softmax(scores)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", w, v)
+        return jnp.einsum("bqhd,hde->bqe", ctx, out_k) + out_b
+
+
 class TransformerLayer(nn.Module):
     """Post-LN transformer encoder layer (HuBERT base: layer_norm_first=False)."""
 
@@ -131,13 +171,7 @@ class TransformerLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
-        attn_out = nn.MultiHeadDotProductAttention(
-            num_heads=cfg.num_heads,
-            qkv_features=cfg.dim,
-            out_features=cfg.dim,
-            dtype=cfg.dtype,
-            name="attn",
-        )(x, x)
+        attn_out = FusedSelfAttention(cfg, name="attn")(x)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="attn_ln")(x + attn_out)
 
         h = nn.Dense(cfg.ffn_dim, dtype=cfg.dtype, name="fc1")(x)

@@ -130,12 +130,13 @@ def embedding(sd, prefix) -> dict:
 
 
 def mha_from_separate_qkv(sd, prefix, num_heads: int) -> dict:
-    """fairseq self_attn (separate {q,k,v,out}_proj Linears) → flax
-    MultiHeadDotProductAttention param tree.
+    """fairseq self_attn (separate {q,k,v,out}_proj Linears) →
+    :class:`~obs_rvc_tpu.models.contentvec.FusedSelfAttention` params.
 
-    flax kernels: q/k/v ``[in, heads, head_dim]``, out ``[heads, head_dim, out]``.
+    Fused layout: ``qkv_kernel [E, 3, H, D]`` (q/k/v stacked on axis 1,
+    heads explicit for TP sharding), ``out_kernel [H, D, E]``.
     """
-    qw = _np(sd[f"{prefix}.q_proj.weight"])  # [E, E]
+    qw = _np(sd[f"{prefix}.q_proj.weight"])  # [E, E] torch [out, in]
     kw = _np(sd[f"{prefix}.k_proj.weight"])
     vw = _np(sd[f"{prefix}.v_proj.weight"])
     ow = _np(sd[f"{prefix}.out_proj.weight"])
@@ -143,20 +144,17 @@ def mha_from_separate_qkv(sd, prefix, num_heads: int) -> dict:
     H = num_heads
     D = E // H
 
-    def in_proj(w, b):
-        return {
-            "kernel": w.T.reshape(E, H, D),
-            "bias": b.reshape(H, D),
-        }
-
+    # w.T is [in, out]; out splits into (H, D)
+    qkv_kernel = np.stack([w.T.reshape(E, H, D) for w in (qw, kw, vw)], axis=1)
+    qkv_bias = np.stack(
+        [_np(sd[f"{prefix}.{n}_proj.bias"]).reshape(H, D) for n in ("q", "k", "v")],
+        axis=0,
+    )
     return {
-        "query": in_proj(qw, _np(sd[f"{prefix}.q_proj.bias"])),
-        "key": in_proj(kw, _np(sd[f"{prefix}.k_proj.bias"])),
-        "value": in_proj(vw, _np(sd[f"{prefix}.v_proj.bias"])),
-        "out": {
-            "kernel": ow.T.reshape(H, D, E),
-            "bias": _np(sd[f"{prefix}.out_proj.bias"]),
-        },
+        "qkv_kernel": qkv_kernel,
+        "qkv_bias": qkv_bias,
+        "out_kernel": ow.T.reshape(H, D, E),
+        "out_bias": _np(sd[f"{prefix}.out_proj.bias"]),
     }
 
 
@@ -615,18 +613,18 @@ def export_contentvec(variables: Mapping[str, Any], num_layers: int, num_heads: 
     for i in range(num_layers):
         lp = p[f"layer_{i}"]
         a = lp["attn"]
-        E = a["out"]["bias"].shape[0]
-        for name, proj in (("q_proj", "query"), ("k_proj", "key"), ("v_proj", "value")):
+        E = a["out_bias"].shape[0]
+        qkv_k = np.asarray(a["qkv_kernel"])  # [E, 3, H, D]
+        qkv_b = np.asarray(a["qkv_bias"])    # [3, H, D]
+        for s, name in enumerate(("q_proj", "k_proj", "v_proj")):
             sd[f"encoder.layers.{i}.self_attn.{name}.weight"] = (
-                np.asarray(a[proj]["kernel"]).reshape(E, E).T
+                qkv_k[:, s].reshape(E, E).T
             )
-            sd[f"encoder.layers.{i}.self_attn.{name}.bias"] = np.asarray(
-                a[proj]["bias"]
-            ).reshape(E)
+            sd[f"encoder.layers.{i}.self_attn.{name}.bias"] = qkv_b[s].reshape(E)
         sd[f"encoder.layers.{i}.self_attn.out_proj.weight"] = (
-            np.asarray(a["out"]["kernel"]).reshape(E, E).T
+            np.asarray(a["out_kernel"]).reshape(E, E).T
         )
-        sd[f"encoder.layers.{i}.self_attn.out_proj.bias"] = np.asarray(a["out"]["bias"])
+        sd[f"encoder.layers.{i}.self_attn.out_proj.bias"] = np.asarray(a["out_bias"])
         _exp_norm(sd, f"encoder.layers.{i}.self_attn_layer_norm", lp["attn_ln"])
         _exp_linear(sd, f"encoder.layers.{i}.fc1", lp["fc1"])
         _exp_linear(sd, f"encoder.layers.{i}.fc2", lp["fc2"])

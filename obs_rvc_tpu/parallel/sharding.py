@@ -20,11 +20,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 #: (path regex, spec builder by param ndim). First match wins.
 _PARAM_RULES: tuple[tuple[str, dict[int, P]], ...] = (
-    # ContentVec attention: flax MHA DenseGeneral kernels [in, heads, head_dim]
-    (r"contentvec/.*attn/(query|key|value)/kernel", {3: P(None, "model", None)}),
-    (r"contentvec/.*attn/(query|key|value)/bias", {2: P("model", None)}),
-    # out projection [heads, head_dim, out]
-    (r"contentvec/.*attn/out/kernel", {3: P("model", None, None)}),
+    # ContentVec attention (FusedSelfAttention): qkv_kernel [in, 3, heads,
+    # head_dim] — shard heads so every shard owns whole (q,k,v) head triples
+    (r"contentvec/.*attn/qkv_kernel", {4: P(None, None, "model", None)}),
+    (r"contentvec/.*attn/qkv_bias", {3: P(None, "model", None)}),
+    # out projection [heads, head_dim, out] — row-parallel (psum after)
+    (r"contentvec/.*attn/out_kernel", {3: P("model", None, None)}),
     # FFN: fc1 [in, ffn], fc2 [ffn, out]
     (r"contentvec/.*fc1/kernel", {2: P(None, "model")}),
     (r"contentvec/.*fc1/bias", {1: P("model")}),

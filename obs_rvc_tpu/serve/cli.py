@@ -115,6 +115,11 @@ def main(argv=None) -> None:
         index_path=args.index,
         index_dtype=jnp.bfloat16 if args.index_dtype == "bfloat16" else None,
     )
+    if args.dtype == "bfloat16":
+        from obs_rvc_tpu.models.checkpoints import cast_params_for_serving
+
+        # flax casts per-op anyway; pre-cast halves weight HBM traffic
+        params = cast_params_for_serving(params)
     controls = StepControls.default(
         pitch_shift=args.pitch_shift,
         rms_mix_rate=args.loudness_factor,

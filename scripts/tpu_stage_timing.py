@@ -40,7 +40,8 @@ def main():
     cfg = StreamSettings().chunk_config(48000)
     pipe = RvcPipeline(cfg, compute_dtype=jnp.bfloat16)
     print("init params...", flush=True)
-    params = jax.device_put(pipe.init_params_fast(0))
+    from obs_rvc_tpu.models.checkpoints import cast_params_for_serving
+    params = jax.device_put(cast_params_for_serving(pipe.init_params_fast(0)))
     jax.block_until_ready(params)
     print("params ready", flush=True)
 

@@ -385,3 +385,40 @@ def test_fcpe_export_roundtrip():
     sd = W.export_fcpe(var, n_layers=cfg.n_layers)
     back = W.convert_fcpe(sd, n_layers=cfg.n_layers)
     _leaves_equal(var, back)
+
+
+def test_cast_params_for_serving():
+    """Pre-cast float weights -> bf16 (serving): identical arithmetic to
+    flax's per-op cast under bf16 compute; index subtree and integer leaves
+    untouched."""
+    from obs_rvc_tpu.config import ChunkConfig, RvcModelVersion
+    from obs_rvc_tpu.models import ContentVecConfig, RMVPEConfig, SynthesizerConfig
+    from obs_rvc_tpu.models.checkpoints import cast_params_for_serving
+    from obs_rvc_tpu.stream import RvcPipeline
+
+    cfg = ChunkConfig.build(sample_rate=48000, sample_length=0.10, extra_inference_time=0.50)
+    pipe = RvcPipeline(
+        cfg,
+        RvcModelVersion.V2,
+        compute_dtype=jnp.bfloat16,
+        contentvec_cfg=ContentVecConfig(
+            dim=64, num_layers=2, tap_layer=2, num_heads=4, ffn_dim=128, out_dim=64,
+            dtype=jnp.bfloat16,
+        ),
+        rmvpe_cfg=RMVPEConfig(n_blocks=1, inter_layers=1, en_out_channels=2,
+                              gru_hidden=16, dtype=jnp.bfloat16),
+        synth_cfg=SynthesizerConfig.for_sample_rate(40000, feature_dim=64),
+    )
+    params = pipe.init_params_fast(0)
+    params["index"] = {"vectors": np.zeros((4, 64), np.float32),
+                      "norms": np.zeros(4, np.float32)}
+    cast = cast_params_for_serving(params)
+
+    leaves = jax.tree.leaves(cast["contentvec"]) + jax.tree.leaves(cast["rmvpe"])
+    assert all(l.dtype == jnp.bfloat16 for l in leaves if jnp.issubdtype(l.dtype, jnp.floating))
+    assert cast["index"]["vectors"].dtype == np.float32  # untouched
+
+    wav = jnp.asarray(np.random.default_rng(0).standard_normal((1, 4000)).astype(np.float32) * 0.1)
+    y_f32params = pipe.contentvec.apply(params["contentvec"], wav)
+    y_castparams = pipe.contentvec.apply(cast["contentvec"], wav)
+    np.testing.assert_array_equal(np.asarray(y_f32params), np.asarray(y_castparams))

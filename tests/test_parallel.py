@@ -39,7 +39,7 @@ def small_cfg():
 def test_partition_specs_hit_expected_rules():
     from jax.sharding import PartitionSpec as P
 
-    assert param_partition_spec("contentvec/params/layer_0/attn/query/kernel", 3) == P(None, "model", None)
+    assert param_partition_spec("contentvec/params/layer_0/attn/qkv_kernel", 4) == P(None, None, "model", None)
     assert param_partition_spec("contentvec/params/layer_3/fc1/kernel", 2) == P(None, "model")
     assert param_partition_spec("contentvec/params/layer_3/fc2/kernel", 2) == P("model", None)
     assert param_partition_spec("synthesizer/params/dec/conv_pre/kernel", 3) == P()
@@ -108,8 +108,8 @@ def test_production_dim_contentvec_tp_parity(n_model):
     # wrap under the pipeline param layout so the "contentvec/..." rules match
     sharded = shard_params({"contentvec": variables}, mesh)["contentvec"]
     # verify the big kernels actually got partitioned, not silently replicated
-    q = sharded["params"]["layer_0"]["attn"]["query"]["kernel"]
-    assert q.sharding.spec == jax.sharding.PartitionSpec(None, "model", None)
+    q = sharded["params"]["layer_0"]["attn"]["qkv_kernel"]
+    assert q.sharding.spec == jax.sharding.PartitionSpec(None, None, "model", None)
     fc1 = sharded["params"]["layer_0"]["fc1"]["kernel"]
     assert not fc1.sharding.is_fully_replicated
 

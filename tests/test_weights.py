@@ -127,10 +127,10 @@ def test_mha_parity():
     }
     p = W.mha_from_separate_qkv(fake, "a", H)
 
-    import flax.linen as nn
+    from obs_rvc_tpu.models.contentvec import ContentVecConfig, FusedSelfAttention
 
-    mod = nn.MultiHeadDotProductAttention(num_heads=H, qkv_features=E, out_features=E)
-    got = np.asarray(mod.apply({"params": p}, jnp.asarray(x.numpy()), jnp.asarray(x.numpy())))
+    mod = FusedSelfAttention(ContentVecConfig(dim=E, num_heads=H))
+    got = np.asarray(mod.apply({"params": p}, jnp.asarray(x.numpy())))
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
