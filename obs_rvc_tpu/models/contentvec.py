@@ -62,6 +62,12 @@ class ContentVecConfig:
     conv_pos_groups: int = 16
     layer_norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32  # compute dtype (bfloat16 for TPU serving)
+    # GELU flavor. fairseq HuBERT uses exact erf-GELU; the tanh approximation
+    # is ~2x cheaper on the TPU VPU (erf is a slow transcendental) and its
+    # max deviation (~3e-3 abs) is below bfloat16 rounding (eps 7.8e-3), so
+    # serving defaults to tanh. Set False for bit-faithful fairseq semantics
+    # (the torch-oracle parity tests gate both modes). See PARITY.md.
+    gelu_approximate: bool = True
 
     @staticmethod
     def v1() -> "ContentVecConfig":
@@ -96,7 +102,7 @@ class ConvFeatureExtractor(nn.Module):
                 x = nn.GroupNorm(
                     num_groups=512, epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="group_norm"
                 )(x)
-            x = nn.gelu(x, approximate=False)
+            x = nn.gelu(x, approximate=cfg.gelu_approximate)
         return x
 
 
@@ -120,7 +126,7 @@ class PositionalConv(nn.Module):
         )(x)
         if cfg.conv_pos_kernel % 2 == 0:
             y = y[:, :-1, :]
-        return nn.gelu(y, approximate=False)
+        return nn.gelu(y, approximate=cfg.gelu_approximate)
 
 
 class FusedSelfAttention(nn.Module):
@@ -175,7 +181,7 @@ class TransformerLayer(nn.Module):
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="attn_ln")(x + attn_out)
 
         h = nn.Dense(cfg.ffn_dim, dtype=cfg.dtype, name="fc1")(x)
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=cfg.gelu_approximate)
         h = nn.Dense(cfg.dim, dtype=cfg.dtype, name="fc2")(h)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="ffn_ln")(x + h)
         return x

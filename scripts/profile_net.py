@@ -36,6 +36,30 @@ def build(which):
     params = cast_params_for_serving(pipe.init_params_fast(0))
     rng = np.random.default_rng(0)
 
+    if which == "step":
+        from obs_rvc_tpu.stream import StepControls, StreamState
+
+        controls1 = StepControls.default(pitch_shift=12.0, rms_mix_rate=0.5)
+        if B == 1:
+            state = StreamState.init(cfg)
+            step, controls = pipe.jit_step, controls1
+            chunk = rng.standard_normal(cfg.sample_frame_size).astype(np.float32) * 0.1
+        else:
+            state = StreamState.init_batch(cfg, B)
+            step = pipe.jit_step_batch
+            controls = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), controls1)
+            chunk = rng.standard_normal((B, cfg.sample_frame_size)).astype(np.float32) * 0.1
+        chunk = jnp.asarray(chunk)
+
+        def fn(p, operand):
+            st, ch, ctl = operand
+            st2, out = step(p, st, ch, ctl)
+            return out
+
+        p, x = params, (state, chunk, controls)
+        p, x = jax.device_put((p, x))
+        jax.block_until_ready((p, x))
+        return fn, p, x
     if which == "contentvec":
         x = jnp.asarray(
             rng.standard_normal((B, cfg.input_buffer_16k_size)).astype(np.float32) * 0.1

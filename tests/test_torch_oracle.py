@@ -13,6 +13,8 @@ ordering, or NSF phase handling produces O(1) errors and cannot pass.
 key-complete against the upstream state-dict layout.
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 import jax
@@ -72,9 +74,16 @@ def _load(oracle: torch.nn.Module, sd: dict) -> torch.nn.Module:
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("version", ["v1", "v2"])
-def test_contentvec_full_model_parity(version):
+@pytest.mark.parametrize(
+    "version,gelu_approximate",
+    [("v1", True), ("v2", True), ("v2", False)],
+)
+def test_contentvec_full_model_parity(version, gelu_approximate):
+    """Gates both GELU flavors: tanh (serving default) and exact erf
+    (fairseq semantics) — each against torch with the matching
+    ``approximate=`` setting, so the gate stays exact either way."""
     cfg = ContentVecConfig.v1() if version == "v1" else ContentVecConfig.v2()
+    cfg = dataclasses.replace(cfg, gelu_approximate=gelu_approximate)
     model = ContentVec(cfg)
     wav = np.random.default_rng(1).standard_normal((1, 16000)).astype(np.float32) * 0.1
 
@@ -88,6 +97,7 @@ def test_contentvec_full_model_parity(version):
             heads=cfg.num_heads,
             ffn=cfg.ffn_dim,
             final_proj_dim=cfg.out_dim if cfg.final_proj else None,
+            gelu="tanh" if gelu_approximate else "none",
         ),
         sd,
     )

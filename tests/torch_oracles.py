@@ -45,8 +45,9 @@ class _TransformerLayer(nn.Module):
     """Post-LN transformer encoder layer (fairseq TransformerSentenceEncoderLayer,
     layer_norm_first=False), with explicit separate q/k/v/out projections."""
 
-    def __init__(self, dim: int, heads: int, ffn: int):
+    def __init__(self, dim: int, heads: int, ffn: int, gelu: str = "none"):
         super().__init__()
+        self.gelu = gelu
         self.self_attn = nn.Module()
         self.self_attn.q_proj = nn.Linear(dim, dim)
         self.self_attn.k_proj = nn.Linear(dim, dim)
@@ -75,7 +76,7 @@ class _TransformerLayer(nn.Module):
 
     def forward(self, x):
         x = self.self_attn_layer_norm(x + self._attn(x))
-        h = self.fc2(F.gelu(self.fc1(x), approximate="none"))
+        h = self.fc2(F.gelu(self.fc1(x), approximate=self.gelu))
         return self.final_layer_norm(x + h)
 
 
@@ -83,7 +84,8 @@ class TorchContentVec(nn.Module):
     """fairseq HubertModel inference path: wav [B, L] → features [B, T, out]."""
 
     def __init__(self, num_layers: int = 12, dim: int = 768, heads: int = 12,
-                 ffn: int = 3072, final_proj_dim: int | None = None):
+                 ffn: int = 3072, final_proj_dim: int | None = None,
+                 gelu: str = "none"):
         super().__init__()
         fe = nn.Module()
         fe.conv_layers = nn.ModuleList()
@@ -92,7 +94,7 @@ class TorchContentVec(nn.Module):
             mods = [nn.Conv1d(in_ch, ch, k, stride=s, bias=False), nn.Dropout(0.0)]
             if i == 0:
                 mods.append(nn.GroupNorm(ch, ch, affine=True))
-            mods.append(nn.GELU(approximate="none"))
+            mods.append(nn.GELU(approximate=gelu))
             fe.conv_layers.append(nn.Sequential(*mods))
             in_ch = ch
         self.feature_extractor = fe
@@ -103,11 +105,11 @@ class TorchContentVec(nn.Module):
         enc.pos_conv = nn.Sequential(
             nn.Conv1d(dim, dim, 128, padding=64, groups=16),
             _SamePad(128),
-            nn.GELU(approximate="none"),
+            nn.GELU(approximate=gelu),
         )
         enc.layer_norm = nn.LayerNorm(dim)
         enc.layers = nn.ModuleList(
-            _TransformerLayer(dim, heads, ffn) for _ in range(num_layers)
+            _TransformerLayer(dim, heads, ffn, gelu=gelu) for _ in range(num_layers)
         )
         self.encoder = enc
         self.final_proj = (
