@@ -5,9 +5,9 @@ Parity targets: ``/root/reference/obs-rvc/src/rt_utils.rs:60-90``
 fixture ``infer_wav.npy``/``sola_buffer.npy`` → offset 321) and the sin²/cos²
 crossfade application at ``/root/reference/obs-rvc/src/lib.rs:768-791``.
 
-TPU-native design: the correlation is a single matmul of the stacked search
-windows against the saved tail (MXU-friendly, no FFT needed for the typical
-``buffer≈1920, search≈480`` sizes) and the winning offset is consumed by
+TPU-native design: the correlation numerator is an FFT cross-correlation
+(batch-native — see ``sola_offset``'s TPU note for why the direct conv
+formulations lose) and the winning offset is consumed by
 ``jax.lax.dynamic_slice`` — the offset never leaves the device, unlike the
 reference which round-trips through host argmax.
 """
@@ -32,42 +32,27 @@ def sola_offset(
     is cross-correlation — no kernel flip — per the reference's own test
     ``obs-rvc/src/tests/sola.rs`` expecting 321).
 
-    TPU note: the numerator is an FFT cross-correlation (the reference uses
-    FFT convolution too, via ``ndarray_conv``) and the denominator uses
-    prefix-sum window energies. A direct formulation — either a
-    ``[search+1, buffer]`` window gather or a VALID conv with a
-    ~2000-tap kernel — is pathological for the TPU compiler (the long-kernel
-    conv was observed to hang the XLA TPU pipeline for minutes).
+    TPU note: the numerator is an FFT circular cross-correlation (the
+    reference uses FFT convolution too, via ``ndarray_conv``) and the
+    denominator uses prefix-sum window energies. Direct formulations all
+    lose on TPU (slope-measured, ``scripts/sola_batch_probe.py``): a VALID
+    conv with the ~2000-tap kernel hangs the XLA pipeline; a channel-blocked
+    conv is fine single-stream (99 µs) but under ``vmap`` the per-stream
+    kernel turns it into a grouped conv lowered as a degenerate scalar
+    fusion (4.0 ms at B=32, 85% of the whole post stage); identity-kernel
+    patches + batched matmul materialize the [B, buffer, search] frames
+    (≥3 ms). The FFT path measures at the noise floor single-stream and
+    0.10 ms at B=32, with bit-identical argmax on test vectors.
     """
     n_offsets = search_frame_size + 1
     conv_input = output_wav[: buffer_frame_size + search_frame_size]
 
-    block = 160
-    if buffer_frame_size % block == 0:
-        # fold the long kernel into channels:
-        #   cor[k] = Σ_a Σ_b x[k + block·a + b] · s[block·a + b]
-        # → a VALID conv with A=buffer/block input channels and a block-tap
-        # kernel. Same MACs, hardware-friendly shapes (µs on the MXU).
-        A = buffer_frame_size // block
-        xs = jnp.stack(
-            [conv_input[block * a : block * a + n_offsets - 1 + block] for a in range(A)]
-        )  # [A, search + block]
-        ker = sola_buffer.reshape(A, block)
-        cor_nom = jax.lax.conv_general_dilated(
-            xs[None],                      # [1, A, search+block]
-            ker[None],                     # [out=1, in=A, block]
-            window_strides=(1,),
-            padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"),
-        )[0, 0]  # [n_offsets]
-    else:
-        # FFT fallback: circular cross-correlation, exact for these lags
-        n_fft = 1
-        while n_fft < buffer_frame_size + search_frame_size + n_offsets:
-            n_fft <<= 1
-        fx = jnp.fft.rfft(conv_input, n_fft)
-        fs = jnp.fft.rfft(sola_buffer, n_fft)
-        cor_nom = jnp.fft.irfft(fx * jnp.conj(fs), n_fft)[:n_offsets].astype(jnp.float32)
+    n_fft = 1
+    while n_fft < buffer_frame_size + search_frame_size + n_offsets:
+        n_fft <<= 1
+    fx = jnp.fft.rfft(conv_input, n_fft)
+    fs = jnp.fft.rfft(sola_buffer, n_fft)
+    cor_nom = jnp.fft.irfft(fx * jnp.conj(fs), n_fft)[:n_offsets].astype(jnp.float32)
 
     csum = jnp.cumsum(jnp.concatenate([jnp.zeros((1,)), conv_input * conv_input]))
     energy = csum[buffer_frame_size:] - csum[:n_offsets]

@@ -74,7 +74,7 @@ def build(which):
         p = params["rmvpe"]
     elif which == "synth":
         T = cfg.return_length
-        phone = jnp.asarray(rng.standard_normal((B, T, 768)).astype(np.float32) * 0.3)
+        x = jnp.asarray(rng.standard_normal((B, T, 768)).astype(np.float32) * 0.3)
         pitch = jnp.ones((B, T), jnp.int32) * 120
         pitchf = jnp.ones((B, T), jnp.float32) * 150.0
         sid = jnp.zeros((B,), jnp.int32)

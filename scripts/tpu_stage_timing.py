@@ -182,6 +182,77 @@ def main():
                 params=params["synthesizer"],
             )
 
+    if "stagesub" in STAGES:
+        # amortized per-op cost of the NON-NET stages at NET_BATCH (vmapped),
+        # to localize the steploop-minus-nets overhead
+        import os
+
+        NB = int(os.environ.get("NET_BATCH", "1"))
+        jits = pipe._staged_jits_batch if NB > 1 else pipe._staged_jits
+        rng5 = np.random.default_rng(5)
+
+        def bshape(*s):
+            return (NB,) + s if NB > 1 else s
+
+        chunk = jnp.asarray(
+            rng5.standard_normal(bshape(cfg.sample_frame_size)).astype(np.float32) * 0.1
+        )
+        in16 = jnp.asarray(
+            rng5.standard_normal(bshape(cfg.input_buffer_16k_size)).astype(np.float32) * 0.1
+        )
+        inbuf = jnp.asarray(
+            rng5.standard_normal(bshape(cfg.input_buffer_size)).astype(np.float32) * 0.1
+        )
+        b16 = jnp.asarray(
+            rng5.standard_normal(bshape(cfg.input_buffer_16k_size)).astype(np.float32) * 0.1
+        )
+        model_out = jnp.asarray(
+            rng5.standard_normal(bshape(cfg.model_return_size)).astype(np.float32) * 0.1
+        )
+        sola = jnp.asarray(
+            rng5.standard_normal(bshape(cfg.sola_buffer_frame_size)).astype(np.float32) * 0.1
+        )
+        salience = jnp.asarray(
+            rng5.standard_normal(bshape(cfg.rmvpe_n_frames, 360)).astype(np.float32)
+        )
+        cache = jnp.asarray(
+            rng5.standard_normal(bshape(cfg.pitch_cache_len)).astype(np.float32) * 100 + 150
+        )
+        from obs_rvc_tpu.stream import StepControls
+
+        controls1 = StepControls.default()
+        controls = (
+            jax.tree.map(lambda x: jnp.broadcast_to(x, (NB,) + x.shape), controls1)
+            if NB > 1 else controls1
+        )
+
+        # NB: state-like operands ride as slope_bench params (real jit args),
+        # not closure constants — a captured buffer turns whole branches into
+        # compile-time constants and the XLA constant folder grinds (see the
+        # dspsub note above).
+        loop_bench(
+            f"pre B={NB}",
+            lambda p, c: jnp.concatenate(jits["pre"](p[0], p[1], c), axis=-1),
+            chunk,
+            params=(in16, inbuf),
+        )
+        loop_bench(f"mel B={NB}", lambda b: jits["mel"](b), b16)
+        loop_bench(
+            f"pitch_post B={NB}",
+            lambda p, s: (lambda r: jnp.concatenate([r[0], r[2]], axis=-1))(
+                jits["pitch_post"](p, s, controls)
+            ),
+            salience,
+            params=cache,
+        )
+        rmr = jnp.full(bshape(), 0.5)
+        loop_bench(
+            f"post B={NB}",
+            lambda p, m: jnp.concatenate(jits["post"](p, m, sola, rmr), axis=-1),
+            model_out,
+            params=inbuf,
+        )
+
     if "pre" in STAGES:
         state = StreamState.init(cfg)
         chunk = jnp.zeros(cfg.sample_frame_size)
