@@ -419,7 +419,10 @@ class GeneratorNSF(nn.Module):
         x = leaky_relu(x, 0.01)
         x = nn.Conv(1, (7,), padding=((3, 3),), use_bias=False, dtype=cfg.dtype,
                     name="conv_post")(x)
-        return jnp.tanh(x)[..., 0].astype(jnp.float32)
+        # squeeze BEFORE tanh: on [B, L, 1] the C=1 minor dim gets a 1-lane
+        # TPU layout and the tanh+convert fusion ran 0.84 ms at B=32; on
+        # [B, L] time rides the lanes and it is bandwidth-trivial
+        return jnp.tanh(x[..., 0]).astype(jnp.float32)
 
 
 class Synthesizer(nn.Module):
