@@ -60,6 +60,13 @@ class SynthesizerConfig:
     flow_kernel: int = 5
     temperature: float = 0.66666
     dtype: jnp.dtype = jnp.float32
+    # Fuse the last (C<=32) upsample level's resblock bank into one Pallas
+    # kernel (ops/resblock.py): XLA runs that level at 9% MFU (4x lane
+    # padding on every elementwise pass + per-conv HBM round-trips); the
+    # fused kernel measures 3.40 vs 6.47 ms at B=32. Enabled by RvcPipeline
+    # on TPU backends; on CPU the kernel runs in (slow) interpret mode, so
+    # tests gate it explicitly instead of defaulting on.
+    pallas_resblocks: bool = False
 
     @property
     def upp(self) -> int:
@@ -346,6 +353,37 @@ def sine_source(
     return sine * uv + noise
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder with ``nn.Conv``'s exact {kernel, bias} tree and
+    inits — lets :class:`ResBlock1` share one param tree between the flax
+    conv path and the fused Pallas kernel (checkpoint layout unchanged)."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+def _conv1d_same(x, kernel, bias, dilation: int, dtype) -> jnp.ndarray:
+    """``nn.Conv(..., kernel_dilation=(d,), padding=SAME-centered)`` as the
+    explicit lax call (identical dtype promotion, dims, and padding)."""
+    k = kernel.shape[0]
+    pad = (k * dilation - dilation) // 2
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype),
+        window_strides=(1,), padding=((pad, pad),), rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    return y + bias.astype(dtype)
+
+
 class ResBlock1(nn.Module):
     channels: int
     kernel_size: int
@@ -353,16 +391,27 @@ class ResBlock1(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        for i, d in enumerate(self.dilations):
-            pad1 = (self.kernel_size * d - d) // 2
+    def __call__(self, x: jnp.ndarray, params_only: bool = False):
+        ws = []
+        for i in range(len(self.dilations)):
+            w1, b1 = _ConvParams(self.channels, self.kernel_size, name=f"conv1_{i}")(
+                self.channels
+            )
+            w2, b2 = _ConvParams(self.channels, self.kernel_size, name=f"conv2_{i}")(
+                self.channels
+            )
+            ws.append((w1, b1, w2, b2))
+        if params_only:
+            # stacked [S, k, C, C] / [S, C] views for ops.resblock_bank
+            return tuple(
+                jnp.stack([w[part] for w in ws]).astype(self.dtype)
+                for part in range(4)
+            )
+        for (w1, b1, w2, b2), d in zip(ws, self.dilations):
             xt = leaky_relu(x, 0.1)
-            xt = nn.Conv(self.channels, (self.kernel_size,), kernel_dilation=(d,),
-                         padding=((pad1, pad1),), dtype=self.dtype, name=f"conv1_{i}")(xt)
+            xt = _conv1d_same(xt, w1, b1, d, self.dtype)
             xt = leaky_relu(xt, 0.1)
-            pad2 = self.kernel_size // 2
-            xt = nn.Conv(self.channels, (self.kernel_size,), padding=((pad2, pad2),),
-                         dtype=self.dtype, name=f"conv2_{i}")(xt)
+            xt = _conv1d_same(xt, w2, b2, 1, self.dtype)
             x = x + xt
         return x
 
@@ -405,13 +454,41 @@ class GeneratorNSF(nn.Module):
             else:
                 src = nn.Conv(ch, (1,), dtype=cfg.dtype, name=f"noise_conv_{i}")(har)
             x = x + src
-            xs = None
-            for j, (rk, rd) in enumerate(
-                zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
-            ):
-                y = ResBlock1(ch, rk, rd, cfg.dtype, name=f"resblock_{i}_{j}")(x)
-                xs = y if xs is None else xs + y
-            x = xs / nk
+            banks = [
+                ResBlock1(ch, rk, rd, cfg.dtype, name=f"resblock_{i}_{j}")
+                for j, (rk, rd) in enumerate(
+                    zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+                )
+            ]
+            shared_dil = all(
+                rd == cfg.resblock_dilation_sizes[0]
+                for rd in cfg.resblock_dilation_sizes
+            )
+            # measured crossover (scripts/groupfold_probe.py + ops/resblock.py
+            # slope benches, B=32): the fused kernel wins 6.47 -> 3.40 ms at
+            # C=32 but loses 3.20 -> 3.85 ms at C=64 (it is im2col-rotate-
+            # bound, while XLA's conv gets 2x the MXU lanes at C=64)
+            if cfg.pallas_resblocks and ch <= 32 and shared_dil:
+                from obs_rvc_tpu.ops.resblock import resblock_bank
+
+                bank_params = [b(x, params_only=True) for b in banks]
+                if not self.is_initializing():
+                    # during .init flax executes this eagerly (op-by-op on
+                    # the device backend) just to trace shapes — the bank is
+                    # shape-preserving, so skip the kernel there (eagerly
+                    # compiling+running it through the axon tunnel stalls
+                    # init for minutes)
+                    x = resblock_bank(
+                        x.astype(cfg.dtype), bank_params,
+                        cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes[0],
+                        interpret=jax.default_backend() == "cpu",
+                    )
+            else:
+                xs = None
+                for b in banks:
+                    y = b(x)
+                    xs = y if xs is None else xs + y
+                x = xs / nk
 
         # HiFiGAN's final activation is F.leaky_relu at torch's DEFAULT slope
         # 0.01, unlike the 0.1 (LRELU_SLOPE) used everywhere else — caught by

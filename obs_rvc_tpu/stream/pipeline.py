@@ -121,6 +121,7 @@ class RvcPipeline:
         pitch_algorithm: str = "rmvpe",
         crepe_cfg: Optional[CrepeConfig] = None,
         fcpe_cfg: Optional[FcpeConfig] = None,
+        pallas_resblocks: Optional[bool] = None,
     ):
         self.cfg = cfg
         self.version = version
@@ -156,7 +157,13 @@ class RvcPipeline:
                 cfg.model_sample_rate if not cfg.skip_inference else 40000,
                 feature_dim=contentvec_cfg.out_dim,
             )
-        self.synth_cfg = dataclasses.replace(synth_cfg, dtype=compute_dtype)
+        if pallas_resblocks is None:
+            # fused resblock kernel on real TPU backends only — on CPU it
+            # would run in slow interpret mode (tests opt in explicitly)
+            pallas_resblocks = jax.default_backend() not in ("cpu",)
+        self.synth_cfg = dataclasses.replace(
+            synth_cfg, dtype=compute_dtype, pallas_resblocks=pallas_resblocks
+        )
 
         self.contentvec = ContentVec(self.contentvec_cfg)
         self.rmvpe = RMVPE(self.rmvpe_cfg)

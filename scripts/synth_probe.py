@@ -42,7 +42,10 @@ def main():
     cfg = SynthesizerConfig.for_sample_rate(40000)
     import dataclasses
 
-    cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+    cfg = dataclasses.replace(
+        cfg, dtype=jnp.bfloat16,
+        pallas_resblocks=bool(int(os.environ.get("PALLAS_RESBLOCKS", "0"))),
+    )
 
     phone = jnp.asarray(rng.standard_normal((B, T, 768)).astype(np.float32) * 0.3)
     pitch = jnp.ones((B, T), jnp.int32) * 120

@@ -218,8 +218,6 @@ def main():
         cache = jnp.asarray(
             rng5.standard_normal(bshape(cfg.pitch_cache_len)).astype(np.float32) * 100 + 150
         )
-        from obs_rvc_tpu.stream import StepControls
-
         controls1 = StepControls.default()
         controls = (
             jax.tree.map(lambda x: jnp.broadcast_to(x, (NB,) + x.shape), controls1)
