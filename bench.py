@@ -48,8 +48,13 @@ def _build_parser() -> argparse.ArgumentParser:
         "--profile", metavar="DIR", help="capture a jax.profiler trace of the measured steps"
     )
     parser.add_argument("--no-supervise", action="store_true", help="run inline (no retry child)")
-    parser.add_argument("--attempt-seconds", type=int, default=480)
+    # the Pallas resblock kernel adds ~180 s of Mosaic compile to the synth
+    # program when the remote service cooperates (it hangs ~50% of the time)
+    # — 480 s cut off ALL modes; the auto ladder's last rung disables it
+    parser.add_argument("--attempt-seconds", type=int, default=600)
     parser.add_argument("--attempts", type=int, default=3)
+    parser.add_argument("--no-pallas-resblocks", action="store_true",
+                        help="disable the fused resblock kernel (reliable compile)")
     return parser
 
 
@@ -67,16 +72,19 @@ def supervise(argv) -> int:
             skip_next = True
             continue
         base_argv.append(a)
-    for attempt in range(args.attempts):
-        if args.mode == "auto":
-            # fused gives the better sustained number but the remote compile
-            # service occasionally hangs on the monolith; last attempt falls
-            # back to the reliably-compiling staged path
-            mode = "fused" if attempt < args.attempts - 1 else "staged"
-        else:
-            mode = args.mode
+    if args.mode == "auto":
+        # ladder: fused gives the best sustained number; the remote compile
+        # service hangs intermittently on the monolith AND (~50% observed)
+        # on the Pallas resblock kernel's Mosaic compile, so the final rung
+        # is staged with the kernel disabled — always compiles in ~40 s
+        ladder = [("fused", True), ("staged", True), ("staged", False)][: max(args.attempts, 1)]
+        if args.attempts >= len(ladder):
+            ladder += [("staged", False)] * (args.attempts - len(ladder))
+    else:
+        ladder = [(args.mode, True)] * args.attempts
+    for attempt, (mode, pallas) in enumerate(ladder):
         child_argv = [sys.executable, "-u", os.path.abspath(__file__), "--no-supervise",
-                      "--mode", mode] + base_argv
+                      "--mode", mode] + ([] if pallas else ["--no-pallas-resblocks"]) + base_argv
         proc = subprocess.Popen(child_argv, stdout=subprocess.PIPE, stderr=sys.stderr,
                                 start_new_session=True)
         try:
@@ -120,7 +128,11 @@ def main() -> None:
         enable_compilation_cache()
 
     cfg = StreamSettings().chunk_config(48000)
-    pipe = RvcPipeline(cfg, compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+    pipe = RvcPipeline(
+        cfg,
+        compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        pallas_resblocks=False if args.no_pallas_resblocks else None,
+    )
     params = pipe.init_params_fast(0)
     if args.dtype == "bfloat16":
         from obs_rvc_tpu.models.checkpoints import cast_params_for_serving
@@ -235,6 +247,7 @@ def main() -> None:
                     "model_gflops_per_chunk": round(gflops_per_step / B, 2),
                     "batch": B,
                     "mode": mode,
+                    "pallas_resblocks": not args.no_pallas_resblocks,
                     "dtype": args.dtype,
                     "chunk_ms": chunk_s * 1000.0,
                     "backend": jax.default_backend(),

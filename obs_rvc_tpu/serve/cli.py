@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--phase-vocoder", action="store_true",
                    help="phase-corrected SOLA crossfade (the reference's lib.rs:778 TODO)")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--no-pallas-resblocks", action="store_true",
+                   help="disable the fused resblock kernel (its Mosaic compile "
+                   "hangs intermittently through the axon remote-compile tunnel; "
+                   "irrelevant on real TPU hosts, which compile locally)")
     p.add_argument("--metrics-json", action="store_true", help="print metrics JSON to stderr")
     return p
 
@@ -104,6 +108,7 @@ def main(argv=None) -> None:
         pitch_algorithm=str(settings.pitch_algorithm),
         keyshift=int(round(args.resonance_shift)),
         phase_vocoder=args.phase_vocoder,
+        pallas_resblocks=False if args.no_pallas_resblocks else None,
     )
     params = load_pipeline_params(
         pipe,

@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--f0-median-radius", type=int, default=0)
     p.add_argument("--phase-vocoder", action="store_true")
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--no-pallas-resblocks", action="store_true",
+                   help="disable the fused resblock kernel (its Mosaic compile "
+                   "hangs intermittently through the axon remote-compile tunnel)")
     p.add_argument("--stage-timing", action="store_true",
                    help="collect per-stage p50s into /metrics (forces per-stage sync)")
     return p
@@ -104,6 +107,7 @@ def build_pipeline(args):
         keyshift=int(round(args.resonance_shift)),
         f0_median_radius=args.f0_median_radius,
         phase_vocoder=args.phase_vocoder,
+        pallas_resblocks=False if args.no_pallas_resblocks else None,
     )
     params = load_pipeline_params(
         pipe,

@@ -60,13 +60,15 @@ def _mode_of(argv):
     return argv[argv.index("--mode") + 1]
 
 
-def test_auto_mode_tries_fused_then_staged(monkeypatch, capsys):
+def test_auto_mode_ladder_fused_staged_then_no_pallas(monkeypatch, capsys):
     rc, out, calls = _run(
         monkeypatch, capsys, ["--attempts", "3"],
         [(b"", 1, False), (b"", 0, True), (_OK, 0, False)],
     )
     assert rc == 0 and out["metric"] == "chunk_p50_ms"
-    assert [_mode_of(c) for c in calls] == ["fused", "fused", "staged"]
+    assert [_mode_of(c) for c in calls] == ["fused", "staged", "staged"]
+    # the final reliability rung disables the Pallas resblock kernel
+    assert ["--no-pallas-resblocks" in c for c in calls] == [False, False, True]
 
 
 def test_auto_succeeds_first_fused_attempt(monkeypatch, capsys):
