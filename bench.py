@@ -103,9 +103,29 @@ def supervise(argv) -> int:
             except ProcessLookupError:
                 pass
             proc.wait()
+    # all attempts failed — distinguish "our program hangs the compiler"
+    # from "the remote compile service is down" (observed multi-hour full
+    # outages where even backend init blocks)
+    canary = subprocess.Popen(
+        [sys.executable, "-u", "-c",
+         "import jax, jax.numpy as jnp, numpy as np;"
+         "print(float(np.asarray(jax.jit(lambda x: (x @ x).sum())(jnp.ones((256, 256))))))"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, start_new_session=True,
+    )
+    try:
+        canary_out, _ = canary.communicate(timeout=150)
+        service = "up" if canary.returncode == 0 and canary_out.strip() else "error"
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(canary.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        canary.wait()
+        service = "DOWN (trivial 256x256 matmul compile hangs)"
     print(json.dumps({"metric": "chunk_p50_ms", "value": -1.0, "unit": "ms",
                       "vs_baseline": 0.0,
-                      "extra": {"error": "all bench attempts hit remote-compile hangs"}}))
+                      "extra": {"error": "all bench attempts hit remote-compile hangs",
+                                "compile_service": service}}))
     return 1
 
 

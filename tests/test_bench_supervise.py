@@ -89,10 +89,21 @@ def test_explicit_mode_is_not_rewritten(monkeypatch, capsys):
 
 
 def test_all_attempts_exhausted_reports_error_json(monkeypatch, capsys):
+    # third behavior = the trivial-compile canary (hangs → service DOWN)
     rc, out, calls = _run(
         monkeypatch, capsys, ["--attempts", "2"],
-        [(b"", 0, True), (b"", 0, True)],
+        [(b"", 0, True), (b"", 0, True), (b"", 0, True)],
     )
     assert rc == 1
     assert out["value"] == -1.0 and "error" in out["extra"]
-    assert len(calls) == 2
+    assert "DOWN" in out["extra"]["compile_service"]
+    assert len(calls) == 3  # 2 attempts + canary
+
+
+def test_exhausted_with_healthy_service_says_service_up(monkeypatch, capsys):
+    rc, out, calls = _run(
+        monkeypatch, capsys, ["--attempts", "2"],
+        [(b"", 0, True), (b"", 0, True), (b"65536.0\n", 0, False)],
+    )
+    assert rc == 1
+    assert out["extra"]["compile_service"] == "up"
