@@ -61,7 +61,9 @@ def _build_parser() -> argparse.ArgumentParser:
 def supervise(argv) -> int:
     """Run the measurement in a child; kill + retry on deadline."""
     args = _build_parser().parse_args(argv)
-    # strip "--mode X" pairs from argv; re-added per attempt below
+    # strip "--mode X" / "--mode=X" from argv; re-added per attempt below
+    # (argparse is last-wins, so a leaked "--mode=auto" would override the
+    # ladder rung's "--mode staged" and silently run fused everywhere)
     base_argv = []
     skip_next = False
     for a in argv:
@@ -70,6 +72,8 @@ def supervise(argv) -> int:
             continue
         if a == "--mode":
             skip_next = True
+            continue
+        if a.startswith("--mode="):
             continue
         base_argv.append(a)
     if args.mode == "auto":

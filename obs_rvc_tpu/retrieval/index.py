@@ -61,8 +61,14 @@ def _blend(q: jnp.ndarray, neighbors: jnp.ndarray, neg_scores: jnp.ndarray,
     d2 = -neg_scores + jnp.sum(q * q, axis=-1, keepdims=True)
     d2 = jnp.maximum(d2, 1e-10)
     weight = (1.0 / d2) ** 2
-    weight = weight / jnp.sum(weight, axis=-1, keepdims=True)
+    # padding/invalid rows (d2 ≈ 1e30, e.g. an IVF chunk-union with < k valid
+    # rows) underflow (1/d2)² to exactly 0 in f32 — normalize guarded, and if
+    # a query got NO valid neighbor at all, fall back to its own phone row
+    # instead of propagating 0/0 NaNs into the features
+    wsum = jnp.sum(weight, axis=-1, keepdims=True)
+    weight = weight / jnp.maximum(wsum, 1e-38)
     mixed = jnp.sum(neighbors.astype(jnp.float32) * weight[..., None], axis=1)
+    mixed = jnp.where(wsum > 0.0, mixed, q)
     rate = jnp.asarray(index_rate, jnp.float32)
     return rate * mixed.reshape(B, T, C) + (1.0 - rate) * phone
 

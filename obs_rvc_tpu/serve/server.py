@@ -147,7 +147,9 @@ def main(argv=None) -> None:
     pool = None
     metrics = None
     if args.pool:
-        pool = StreamPool(pipe, params, capacity=args.pool, batch_min=max(1, args.pool // 4))
+        pool = StreamPool(pipe, params, capacity=args.pool,
+                          batch_min=max(1, args.pool // 4),
+                          default_controls=controls)
         pool.start()
         metrics = pool.metrics
 

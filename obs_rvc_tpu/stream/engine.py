@@ -70,15 +70,26 @@ class RvcEngine:
             feature_dim=launch.cfg.feature_dim,
             sample_rate=launch.cfg.sample_rate,
         )
+        # Forward EVERY launch-pipeline option: a per-geometry pipeline must
+        # be the launch pipeline at a different geometry, nothing else. The
+        # cfg dataclasses carry dtype/pallas flags that RvcPipeline.__init__
+        # re-derives from compute_dtype/pallas_resblocks, so those two are
+        # passed explicitly from the launch pipeline's resolved configs.
         return RvcPipeline(
             cfg,
             version=launch.version,
             f0_median_radius=launch.f0_median_radius,
             retrieval_index=launch.retrieval_index,
+            compute_dtype=launch.contentvec_cfg.dtype,
             keyshift=launch.keyshift,
+            phase_vocoder=launch.phase_vocoder,
             contentvec_cfg=launch.contentvec_cfg,
             rmvpe_cfg=launch.rmvpe_cfg,
             synth_cfg=launch.synth_cfg,
+            pitch_algorithm=launch.pitch_algorithm,
+            crepe_cfg=launch.crepe_cfg,
+            fcpe_cfg=launch.fcpe_cfg,
+            pallas_resblocks=launch.synth_cfg.pallas_resblocks,
         )
 
     def _jit_infer_for(self, key):

@@ -49,10 +49,15 @@ class StreamPool:
         output_capacity_chunks: int = 12,
         batch_min: int = 1,
         batch_deadline_ms: float = 30.0,
+        default_controls: Optional[StepControls] = None,
     ):
         self.pipeline = pipeline
         self.params = params
         self.capacity = capacity
+        #: controls a slot starts with when attach() gets none — lets the
+        #: server's CLI-derived controls apply to pool slots the same way
+        #: they do to per-connection sessions
+        self.default_controls = default_controls or StepControls.default()
         #: tick gating: step when ``>= min(batch_min, n_active)`` slots have a
         #: full chunk, or the first-ready slot has waited ``batch_deadline_ms``
         #: — trades a bounded latency add for batching efficiency (the batched
@@ -66,7 +71,7 @@ class StreamPool:
         self._in = [make_ring_buffer(self._chunk * input_capacity_chunks) for _ in range(capacity)]
         self._out = [make_ring_buffer(self._chunk * output_capacity_chunks) for _ in range(capacity)]
         self._active = [False] * capacity
-        self._controls = [StepControls.default() for _ in range(capacity)]
+        self._controls = [self.default_controls for _ in range(capacity)]
         self._states = StreamState.init_batch(cfg, capacity)
         # bumped by _clear_slot; the worker drops results computed from a
         # stale epoch (attach/detach racing the batched step)
@@ -86,7 +91,7 @@ class StreamPool:
             for i in range(self.capacity):
                 if not self._active[i]:
                     self._active[i] = True
-                    self._controls[i] = controls or StepControls.default()
+                    self._controls[i] = controls or self.default_controls
                     self._clear_slot(i)
                     return i
         raise RuntimeError("pool full")

@@ -107,3 +107,15 @@ def test_exhausted_with_healthy_service_says_service_up(monkeypatch, capsys):
     )
     assert rc == 1
     assert out["extra"]["compile_service"] == "up"
+
+
+def test_mode_equals_form_is_stripped(monkeypatch, capsys):
+    """argparse is last-wins: a leaked '--mode=auto' after the ladder's
+    '--mode staged' would silently run every rung fused (ADVICE r2)."""
+    rc, out, calls = _run(
+        monkeypatch, capsys, ["--mode=auto", "--attempts", "3"],
+        [(b"", 1, False), (b"", 0, True), (_OK, 0, False)],
+    )
+    assert rc == 0
+    assert [_mode_of(c) for c in calls] == ["fused", "staged", "staged"]
+    assert all(not any(a.startswith("--mode=") for a in c) for c in calls)

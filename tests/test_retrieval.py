@@ -304,3 +304,26 @@ def test_load_pipeline_params_ivf_mode(tmp_path):
         # querying table rows exactly: nearest neighbor is the row itself
         want = _numpy_reference_blend(vectors, np.asarray(phone), 0.9)
         np.testing.assert_allclose(out, want, rtol=1e-3, atol=1e-4)
+
+
+def test_ivf_blend_empty_probed_union_falls_back_to_phone():
+    """A query whose probed union holds ZERO valid rows must not NaN:
+    (1/1e30)**2 underflows f32 to exactly 0, so the weight normalization
+    was 0/0 (ADVICE r2). The blend now falls back to the query's own phone
+    row — i.e. the output equals phone regardless of index_rate."""
+    from obs_rvc_tpu.retrieval.faiss_reader import IvfFlatIndex
+
+    rng = np.random.default_rng(27)
+    C = 8
+    vectors = (10.0 + rng.standard_normal((12, C))).astype(np.float32)
+    # all rows live in list 0; list 1 is empty but its centroid sits at the
+    # query, so probes=1 force-includes ONLY the empty list for this chunk
+    assignments = np.zeros(12, np.int64)
+    query = -10.0 * np.ones((1, 1, C), np.float32)
+    centroids = np.stack([vectors.mean(0), query.reshape(C)]).astype(np.float32)
+
+    idx = RetrievalIndex(mode="ivf", probes=1, k=4)
+    p = idx.make_ivf_params(IvfFlatIndex(vectors, centroids, assignments))
+    out = np.asarray(idx.blend(p, jnp.asarray(query), 1.0))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, query, atol=1e-6)

@@ -659,3 +659,65 @@ def test_server_entry_builds_pipeline_from_flags():
     assert pipe.cfg.skip_inference
     assert float(controls.pitch_shift) == 4.0
     assert abs(float(controls.rms_mix_rate) - 0.7) < 1e-6
+
+
+def test_engine_pipeline_for_forwards_launch_options():
+    """A per-geometry pipeline must be the launch pipeline at a different
+    geometry, nothing else (ADVICE r2: a crepe/bf16 engine built rmvpe/f32
+    per-geometry pipelines — KeyError 'rmvpe' on any non-launch request)."""
+    import jax.numpy as jnp
+
+    from obs_rvc_tpu.models.crepe import CrepeConfig
+
+    cfg = small_cfg()
+    pipe = RvcPipeline(
+        cfg,
+        pitch_algorithm="crepe",
+        crepe_cfg=CrepeConfig(capacity="tiny"),
+        compute_dtype=jnp.bfloat16,
+        phase_vocoder=True,
+        f0_median_radius=5,
+        pallas_resblocks=False,
+    )
+    eng = RvcEngine(pipe, pipe.init_params_fast())
+
+    cfg2 = ChunkConfig.build(
+        sample_rate=48000, sample_length=0.20, extra_inference_time=0.30
+    )
+    key = (cfg2.input_buffer_16k_size, cfg2.sample_frame_16k_size,
+           cfg2.skip_head, cfg2.return_length)
+    p2 = eng._pipeline_for(key)
+    assert p2 is not pipe
+    assert p2.pitch_algorithm == "crepe"
+    assert p2.crepe_cfg.capacity == "tiny"
+    assert p2.contentvec_cfg.dtype == jnp.bfloat16
+    assert p2.synth_cfg.dtype == jnp.bfloat16
+    assert p2.phase_vocoder is True
+    assert p2.f0_median_radius == 5
+    assert p2.synth_cfg.pallas_resblocks is False
+
+    # and the non-launch geometry actually serves (params hold 'crepe')
+    out = eng.infer(
+        np.zeros(cfg2.input_buffer_16k_size, np.float32),
+        cfg2.sample_frame_16k_size, 0, cfg2.skip_head, cfg2.return_length,
+    )
+    assert out.shape == (cfg2.return_length * cfg.model_sample_rate // 100,)
+    assert np.isfinite(out).all()
+
+
+def test_stream_pool_default_controls_applied():
+    """Pool slots start from the pool's default controls (the server's CLI
+    flags), not StepControls.default() (ADVICE r2: --pitch-shift etc. were
+    silently ignored in --pool mode until a client pushed TAG_CONTROL)."""
+    from obs_rvc_tpu.stream import StreamPool, StepControls
+
+    cfg = small_cfg(skip_inference=True)
+    ctl = StepControls.default(pitch_shift=4.0, rms_mix_rate=0.7, sid=2)
+    pool = StreamPool(RvcPipeline(cfg), params={}, capacity=2, default_controls=ctl)
+    s = pool.attach()
+    assert float(pool._controls[s].pitch_shift) == 4.0
+    assert abs(float(pool._controls[s].rms_mix_rate) - 0.7) < 1e-6
+    assert int(pool._controls[s].sid) == 2
+    # explicit per-connection controls still win
+    s2 = pool.attach(StepControls.default(pitch_shift=-2.0))
+    assert float(pool._controls[s2].pitch_shift) == -2.0
