@@ -160,6 +160,37 @@ class StreamSession:
         while self._out.pop(self._chunk).size:
             pass
 
+    # --- snapshot/resume (the reference zeroes state on every restart,
+    # lib.rs:906-913, costing a ~2 s context warm-up glitch; carrying the
+    # StreamState across a restart/migration avoids it) ---
+
+    def snapshot(self) -> bytes:
+        """Serialize the streaming state (rings are not included — only the
+        model-context carry-over). Call with the worker stopped, or accept
+        a snapshot that is one in-flight chunk stale."""
+        return self.state.to_bytes()
+
+    def restore(self, data: bytes) -> None:
+        """Resume from a :meth:`snapshot` taken by a session with the same
+        ChunkConfig; continuing produces output identical to never having
+        stopped (gated by ``test_stream_session_snapshot_resume``)."""
+        state = StreamState.from_bytes(data)
+        cfg = self.pipeline.cfg
+        want = {
+            "input_buffer": cfg.input_buffer_size,
+            "input_buffer_16k": cfg.input_buffer_16k_size,
+            "sola_buffer": cfg.sola_buffer_frame_size,
+            "cache_pitchf": cfg.pitch_cache_len,
+        }
+        for name, n in want.items():
+            got = getattr(state, name).shape
+            if got != (n,):
+                raise ValueError(
+                    f"snapshot geometry mismatch: {name} is {got}, this "
+                    f"session's ChunkConfig needs ({n},)"
+                )
+        self.state = state
+
     # --- live settings (tier-1 hot reload) ---
 
     def update_controls(self, **kwargs) -> None:

@@ -721,3 +721,108 @@ def test_stream_pool_default_controls_applied():
     # explicit per-connection controls still win
     s2 = pool.attach(StepControls.default(pitch_shift=-2.0))
     assert float(pool._controls[s2].pitch_shift) == -2.0
+
+
+# ---------- streaming-state snapshot / resume ----------
+#
+# The reference zeroes all streaming state on restart (clear_state,
+# obs-rvc/src/lib.rs:906-913), so a respawn costs a ~2 s context warm-up
+# glitch. StreamState.to_bytes/from_bytes carries the context instead; the
+# gate is bit-identical continuation after a serialize → fresh pipeline →
+# resume cycle.
+
+def test_stream_state_bytes_roundtrip():
+    import jax.numpy as jnp
+
+    from obs_rvc_tpu.stream import StreamState
+
+    cfg = small_cfg()
+    rng = np.random.default_rng(11)
+    state = StreamState(
+        input_buffer=jnp.asarray(rng.standard_normal(cfg.input_buffer_size), jnp.float32),
+        input_buffer_16k=jnp.asarray(rng.standard_normal(cfg.input_buffer_16k_size), jnp.float32),
+        sola_buffer=jnp.asarray(rng.standard_normal(cfg.sola_buffer_frame_size), jnp.float32),
+        cache_pitchf=jnp.asarray(rng.standard_normal(cfg.pitch_cache_len), jnp.float32),
+    )
+    back = StreamState.from_bytes(state.to_bytes())
+    for name in ("input_buffer", "input_buffer_16k", "sola_buffer", "cache_pitchf"):
+        a, b = np.asarray(getattr(state, name)), np.asarray(getattr(back, name))
+        assert b.dtype == np.float32
+        np.testing.assert_array_equal(a, b)
+
+
+def test_stream_resume_drill_bit_identical():
+    """Stream 6 chunks; separately stream 3, serialize, rebuild the pipeline
+    object from scratch (fresh jits — a restarted process), resume, stream
+    the other 3: outputs must be BIT-identical to the uninterrupted run."""
+    import jax.numpy as jnp
+
+    from obs_rvc_tpu.stream import StreamState
+
+    cfg = small_cfg()
+    pipe = RvcPipeline(cfg)
+    params = pipe.init_params_fast()
+    controls = StepControls.default(pitch_shift=3.0, rms_mix_rate=0.4)
+    rng = np.random.default_rng(7)
+    chunks = [
+        (0.1 * rng.standard_normal(cfg.sample_frame_size)).astype(np.float32)
+        for _ in range(6)
+    ]
+
+    state = StreamState.init(cfg)
+    outs = []
+    for c in chunks:
+        state, o = pipe.jit_step(params, state, jnp.asarray(c), controls)
+        outs.append(np.asarray(o))
+
+    state1 = StreamState.init(cfg)
+    for c in chunks[:3]:
+        state1, _ = pipe.jit_step(params, state1, jnp.asarray(c), controls)
+    blob = state1.to_bytes()
+
+    pipe2 = RvcPipeline(cfg)  # fresh object: new executables, same math
+    state2 = StreamState.from_bytes(blob)
+    for i, c in enumerate(chunks[3:]):
+        state2, o = pipe2.jit_step(params, state2, jnp.asarray(c), controls)
+        np.testing.assert_array_equal(np.asarray(o), outs[3 + i])
+
+
+def test_stream_session_snapshot_resume():
+    """Session-level drill: N chunks through one session, snapshot, build a
+    NEW session over a NEW pipeline, restore, continue — output identical to
+    one uninterrupted session. Also: geometry mismatch is rejected."""
+    from obs_rvc_tpu.stream import StreamSession
+
+    cfg = small_cfg()
+    pipe = RvcPipeline(cfg, pallas_resblocks=False)
+    params = pipe.init_params_fast()
+    controls = StepControls.default(pitch_shift=2.0)
+    rng = np.random.default_rng(8)
+    wav = (0.1 * rng.standard_normal(6 * cfg.sample_frame_size)).astype(np.float32)
+
+    def run(sessions_split):
+        out = []
+        s = StreamSession(RvcPipeline(cfg, pallas_resblocks=False), params, controls)
+        for i in range(6):
+            if i == sessions_split:
+                blob = s.snapshot()
+                s = StreamSession(RvcPipeline(cfg, pallas_resblocks=False), params, controls)
+                s.restore(blob)
+            s.push_audio(wav[i * cfg.sample_frame_size : (i + 1) * cfg.sample_frame_size])
+            assert s.process_pending() == 1
+            out.append(s.pull_audio(cfg.sample_frame_size))
+        return np.concatenate(out)
+
+    uninterrupted = run(sessions_split=None)
+    resumed = run(sessions_split=3)
+    np.testing.assert_array_equal(uninterrupted, resumed)
+
+    # wrong-geometry snapshot is rejected up front, not at step time
+    other = StreamSession(
+        RvcPipeline(ChunkConfig.build(sample_rate=48000, sample_length=0.20,
+                                      extra_inference_time=0.30)),
+        params, controls,
+    )
+    s = StreamSession(RvcPipeline(cfg), params, controls)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        other.restore(s.snapshot())
