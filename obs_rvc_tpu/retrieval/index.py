@@ -73,27 +73,30 @@ def _blend(q: jnp.ndarray, neighbors: jnp.ndarray, neg_scores: jnp.ndarray,
     return rate * mixed.reshape(B, T, C) + (1.0 - rate) * phone
 
 
-def ivf_knn_blend(
+def ivf_search(
     vectors: jnp.ndarray,     # [N + lcap, C] list-major reordered (+ padding rows)
     norms: jnp.ndarray,       # [N + lcap] squared norms (padding rows = +inf)
     lengths: jnp.ndarray,     # [nlist] int32 true list lengths
     offsets: jnp.ndarray,     # [nlist] int32 row offset of each list
     centroids: jnp.ndarray,   # [nlist, C] coarse quantizer
     cnorms: jnp.ndarray,      # [nlist] centroid squared norms
-    phone: jnp.ndarray,       # [B, T, C] query features
-    index_rate: jnp.ndarray | float,
+    q: jnp.ndarray,           # [Q, C] queries
     k: int = 8,
     probes: int = 64,
     lcap: int = 128,
     nprobe: int = 1,
-) -> jnp.ndarray:
-    """Chunk-union IVF probe + exact search over the probed subset."""
-    B, T, C = phone.shape
-    q = phone.reshape(B * T, C).astype(jnp.float32)
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Chunk-union IVF probe + exact search over the probed subset.
+
+    Returns ``(neighbors [Q,k,C], neg_scores [Q,k], rows [Q,k])`` where
+    ``neg_scores = 2 q·v − |v|²`` (descending) and ``rows`` are row ids into
+    the list-major reordered table (recall measurement / debugging)."""
+    Q, C = q.shape
+    q = q.astype(jnp.float32)
     nlist = centroids.shape[0]
     probes = min(probes, nlist)
 
-    # centroid distances (up to the per-query |q|² constant): [BT, nlist]
+    # centroid distances (up to the per-query |q|² constant): [Q, nlist]
     cd = cnorms[None, :] - 2.0 * jnp.dot(
         q, centroids.T.astype(jnp.float32), preferred_element_type=jnp.float32
     )
@@ -101,7 +104,7 @@ def ivf_knn_blend(
     list_score = -jnp.min(cd, axis=0)  # [nlist]
     # …with every query's own top-nprobe lists force-included (faiss recall
     # guarantee whenever distinct probed lists ≤ probes)
-    _, query_lists = jax.lax.top_k(-cd, min(nprobe, nlist))  # [BT, nprobe]
+    _, query_lists = jax.lax.top_k(-cd, min(nprobe, nlist))  # [Q, nprobe]
     list_score = list_score.at[query_lists.reshape(-1)].add(1e30)
     _, probe_ids = jax.lax.top_k(list_score, probes)  # [probes]
 
@@ -127,7 +130,33 @@ def ivf_knn_blend(
         q.astype(sub.dtype), sub.T, preferred_element_type=jnp.float32
     ) - subn[None, :]
     neg_scores, idx = jax.lax.top_k(scores, k)  # descending score
-    neighbors = sub[idx]  # [BT, k, C]
+    neighbors = sub[idx]  # [Q, k, C]
+    # flat slab position → reordered-table row id
+    rows = (offs[:, None] + jax.lax.broadcasted_iota(jnp.int32, (probes, lcap), 1)).reshape(-1)[idx]
+    return neighbors, neg_scores, rows
+
+
+def ivf_knn_blend(
+    vectors: jnp.ndarray,
+    norms: jnp.ndarray,
+    lengths: jnp.ndarray,
+    offsets: jnp.ndarray,
+    centroids: jnp.ndarray,
+    cnorms: jnp.ndarray,
+    phone: jnp.ndarray,       # [B, T, C] query features
+    index_rate: jnp.ndarray | float,
+    k: int = 8,
+    probes: int = 64,
+    lcap: int = 128,
+    nprobe: int = 1,
+) -> jnp.ndarray:
+    """:func:`ivf_search` + RVC blend (see module doc)."""
+    B, T, C = phone.shape
+    q = phone.reshape(B * T, C).astype(jnp.float32)
+    neighbors, neg_scores, _ = ivf_search(
+        vectors, norms, lengths, offsets, centroids, cnorms, q,
+        k=k, probes=probes, lcap=lcap, nprobe=nprobe,
+    )
     return _blend(q, neighbors, neg_scores, phone, index_rate)
 
 
