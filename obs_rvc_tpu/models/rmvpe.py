@@ -41,6 +41,47 @@ class RMVPEConfig:
     gru_hidden: int = 256
     n_gru: int = 1
     dtype: jnp.dtype = jnp.float32
+    #: fuse small-channel U-Net levels into the Pallas ConvBlockRes-chain
+    #: kernel (ops/unet_block.py) — the C <= pallas_unet_max_ch levels run
+    #: at the largest feature maps and dominate RMVPE's device time under
+    #: XLA (18.6 % MFU at B=32, BENCHMARKS.md)
+    pallas_unet: bool = False
+    pallas_unet_max_ch: int = 32
+
+
+class _Conv2dParams(nn.Module):
+    """Parameter holder matching ``nn.Conv``'s exact {kernel[, bias]} tree
+    and inits — lets the fused Pallas path share one param tree with the
+    flax conv path (checkpoint layout unchanged)."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.kernel_size, in_features, self.features),
+        )
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        return kernel, bias
+
+
+class _BnParams(nn.Module):
+    """Parameter holder matching ``nn.BatchNorm``'s tree (params scale/bias
+    + batch_stats mean/var)."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((features,), jnp.float32)).value
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((features,), jnp.float32)).value
+        return scale, bias, mean, var
 
 
 class ConvBlockRes(nn.Module):
@@ -48,8 +89,26 @@ class ConvBlockRes(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # NHWC
+    def __call__(self, x: jnp.ndarray, params_only: bool = False):  # NHWC
         in_channels = x.shape[-1]
+        if params_only:
+            # folded (W1, b1, W2, b2, Wsc, bsc) for ops.unet_block — same
+            # param tree as the flax path below (holders match nn.Conv /
+            # nn.BatchNorm names, shapes, and inits)
+            from obs_rvc_tpu.ops.unet_block import fold_bn
+
+            k1, _ = _Conv2dParams(self.out_channels, (3, 3), name="conv1")(in_channels)
+            bn1 = _BnParams(name="bn1")(self.out_channels)
+            k2, _ = _Conv2dParams(self.out_channels, (3, 3), name="conv2")(self.out_channels)
+            bn2 = _BnParams(name="bn2")(self.out_channels)
+            w1, b1 = fold_bn(k1, *bn1)
+            w2, b2 = fold_bn(k2, *bn2)
+            wsc = bsc = None
+            if in_channels != self.out_channels:
+                wsc, bsc = _Conv2dParams(self.out_channels, (1, 1), use_bias=True,
+                                         name="shortcut")(in_channels)
+                wsc = wsc.reshape(in_channels, self.out_channels)
+            return w1, b1, w2, b2, wsc, bsc
         y = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=True, dtype=self.dtype, name="bn1")(y)
@@ -63,16 +122,46 @@ class ConvBlockRes(nn.Module):
         return x + y
 
 
+def _fused_chain(module: nn.Module, x: jnp.ndarray, out_channels: int,
+                 n_blocks: int, dtype) -> jnp.ndarray:
+    """Run a level's ConvBlockRes chain through the fused Pallas kernel.
+
+    Declares the blocks' params via their holders (identical tree), then
+    calls ``conv_block_res_chain`` — except under ``.init``, where flax
+    executes eagerly on the device backend just to trace shapes: the chain
+    is shape-static, so a zeros placeholder avoids an eager Mosaic compile
+    (same pattern as the synthesizer's resblock bank)."""
+    import jax as _jax
+
+    from obs_rvc_tpu.ops.unet_block import conv_block_res_chain
+
+    blocks = []
+    for i in range(n_blocks):
+        hint = x if i == 0 else jnp.zeros((1, 1, 1, out_channels), x.dtype)
+        blocks.append(
+            ConvBlockRes(out_channels, dtype, name=f"block_{i}")(hint, params_only=True)
+        )
+    if module.is_initializing():
+        return jnp.zeros(x.shape[:-1] + (out_channels,), dtype)
+    return conv_block_res_chain(
+        x.astype(dtype), blocks, interpret=_jax.default_backend() == "cpu"
+    )
+
+
 class ResEncoderBlock(nn.Module):
     out_channels: int
     n_blocks: int
     pool: bool
     dtype: jnp.dtype = jnp.float32
+    pallas_unet: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
-        for i in range(self.n_blocks):
-            x = ConvBlockRes(self.out_channels, self.dtype, name=f"block_{i}")(x)
+        if self.pallas_unet:
+            x = _fused_chain(self, x, self.out_channels, self.n_blocks, self.dtype)
+        else:
+            for i in range(self.n_blocks):
+                x = ConvBlockRes(self.out_channels, self.dtype, name=f"block_{i}")(x)
         if self.pool:
             # 2x2 mean via reshape instead of reduce-window: numerically the
             # same, but reduce-window forces a W-minor layout on TPU and
@@ -89,6 +178,7 @@ class ResDecoderBlock(nn.Module):
     out_channels: int
     n_blocks: int
     dtype: jnp.dtype = jnp.float32
+    pallas_unet: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
@@ -100,8 +190,11 @@ class ResDecoderBlock(nn.Module):
         y = nn.BatchNorm(use_running_average=True, dtype=self.dtype, name="bn")(y)
         y = nn.relu(y)
         y = jnp.concatenate([y, skip], axis=-1)
-        for i in range(self.n_blocks):
-            y = ConvBlockRes(self.out_channels, self.dtype, name=f"block_{i}")(y)
+        if self.pallas_unet:
+            y = _fused_chain(self, y, self.out_channels, self.n_blocks, self.dtype)
+        else:
+            for i in range(self.n_blocks):
+                y = ConvBlockRes(self.out_channels, self.dtype, name=f"block_{i}")(y)
         return y
 
 
@@ -116,8 +209,9 @@ class DeepUnet(nn.Module):
         skips = []
         ch = cfg.en_out_channels
         for i in range(cfg.en_de_layers):
+            fuse = cfg.pallas_unet and ch <= cfg.pallas_unet_max_ch
             x, skip = ResEncoderBlock(ch, cfg.n_blocks, pool=True, dtype=cfg.dtype,
-                                      name=f"encoder_{i}")(x)
+                                      pallas_unet=fuse, name=f"encoder_{i}")(x)
             skips.append(skip)
             ch *= 2
 
@@ -128,8 +222,9 @@ class DeepUnet(nn.Module):
 
         for i in range(cfg.en_de_layers):
             ch //= 2
+            fuse = cfg.pallas_unet and ch <= cfg.pallas_unet_max_ch
             x = ResDecoderBlock(ch, cfg.n_blocks, dtype=cfg.dtype,
-                                name=f"decoder_{i}")(x, skips[-(i + 1)])
+                                pallas_unet=fuse, name=f"decoder_{i}")(x, skips[-(i + 1)])
         return x  # [B, T, 128, 16]
 
 

@@ -149,18 +149,22 @@ class RvcPipeline:
                 ContentVecConfig.v1() if version is RvcModelVersion.V1 else ContentVecConfig.v2()
             )
         self.contentvec_cfg = dataclasses.replace(contentvec_cfg, dtype=compute_dtype)
+        if pallas_resblocks is None:
+            # fused Pallas kernels on real TPU backends only — on CPU they
+            # would run in slow interpret mode (tests opt in explicitly)
+            pallas_resblocks = jax.default_backend() not in ("cpu",)
+        # one switch gates every Mosaic kernel (synth resblock bank + RMVPE
+        # U-Net chain) — it doubles as the remote-compile-hang escape hatch
+        # (--no-pallas-resblocks)
         self.rmvpe_cfg = dataclasses.replace(
-            rmvpe_cfg if rmvpe_cfg is not None else RMVPEConfig(), dtype=compute_dtype
+            rmvpe_cfg if rmvpe_cfg is not None else RMVPEConfig(),
+            dtype=compute_dtype, pallas_unet=pallas_resblocks,
         )
         if synth_cfg is None:
             synth_cfg = SynthesizerConfig.for_sample_rate(
                 cfg.model_sample_rate if not cfg.skip_inference else 40000,
                 feature_dim=contentvec_cfg.out_dim,
             )
-        if pallas_resblocks is None:
-            # fused resblock kernel on real TPU backends only — on CPU it
-            # would run in slow interpret mode (tests opt in explicitly)
-            pallas_resblocks = jax.default_backend() not in ("cpu",)
         self.synth_cfg = dataclasses.replace(
             synth_cfg, dtype=compute_dtype, pallas_resblocks=pallas_resblocks
         )

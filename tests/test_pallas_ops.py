@@ -160,3 +160,149 @@ def test_generator_pallas_resblocks_matches_flax():
     gen_on = GeneratorNSF(dataclasses.replace(cfg, pallas_resblocks=True))
     got = np.asarray(gen_on.apply(v, z, f0, g, None))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# fused U-Net ConvBlockRes chain (ops/unet_block.py)
+# ---------------------------------------------------------------------------
+
+
+def _chain_ref(x, blocks):
+    """Pure-XLA reference of the folded ConvBlockRes chain."""
+    dn = ("NHWC", "HWIO", "NHWC")
+    for w1, b1, w2, b2, wsc, bsc in blocks:
+        y = jax.lax.conv_general_dilated(x, w1, (1, 1), "SAME", dimension_numbers=dn)
+        y = jax.nn.relu(y + b1)
+        y = jax.lax.conv_general_dilated(y, w2, (1, 1), "SAME", dimension_numbers=dn)
+        y = jax.nn.relu(y + b2)
+        if wsc is not None:
+            sc = jax.lax.conv_general_dilated(
+                x, wsc.reshape(1, 1, *wsc.shape[-2:]), (1, 1), "SAME",
+                dimension_numbers=dn) + bsc
+        else:
+            sc = x
+        x = sc + y
+    return x
+
+
+def _chain_fixture(rng, B, H, W, cin0, C, n_blocks, dtype):
+    def conv(ci, co, k=3):
+        return (rng.standard_normal((k, k, ci, co)).astype(np.float32) * 0.15)
+
+    blocks = []
+    for i in range(n_blocks):
+        ci = cin0 if i == 0 else C
+        wsc = bsc = None
+        if i == 0 and ci != C:
+            wsc = jnp.asarray(conv(ci, C, k=1).reshape(ci, C), dtype)
+            bsc = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.05, dtype)
+        blocks.append((
+            jnp.asarray(conv(ci, C), dtype),
+            jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.05, dtype),
+            jnp.asarray(conv(C, C), dtype),
+            jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.05, dtype),
+            wsc, bsc,
+        ))
+    x = jnp.asarray(rng.standard_normal((B, H, W, cin0)).astype(np.float32) * 0.3, dtype)
+    return x, blocks
+
+
+@pytest.mark.parametrize("cin0,C,H,W", [
+    (1, 16, 8, 32),    # encoder level 0 geometry (1 -> 16)
+    (16, 16, 8, 32),   # identity shortcut
+    (32, 16, 4, 16),   # decoder geometry (2C concat -> C)
+    (16, 32, 4, 16),   # channel doubling
+])
+def test_unet_chain_matches_xla(cin0, C, H, W):
+    from obs_rvc_tpu.ops.unet_block import conv_block_res_chain
+
+    rng = np.random.default_rng(hash((cin0, C)) % 2**31)
+    x, blocks = _chain_fixture(rng, B=2, H=H, W=W, cin0=cin0, C=C,
+                               n_blocks=3, dtype=jnp.float32)
+    want = np.asarray(_chain_ref(x, blocks))
+    got = np.asarray(conv_block_res_chain(x, blocks, interpret=INTERPRET))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_unet_chain_bf16():
+    from obs_rvc_tpu.ops.unet_block import conv_block_res_chain
+
+    rng = np.random.default_rng(5)
+    x, blocks = _chain_fixture(rng, B=1, H=8, W=16, cin0=8, C=16,
+                               n_blocks=2, dtype=jnp.bfloat16)
+    want = np.asarray(_chain_ref(x, blocks).astype(jnp.float32))
+    got = np.asarray(conv_block_res_chain(x, blocks, interpret=INTERPRET).astype(jnp.float32))
+    np.testing.assert_allclose(got, want, atol=5e-2, rtol=2e-2)
+
+
+def test_unet_fold_bn_matches_separate_bn():
+    from obs_rvc_tpu.ops.unet_block import fold_bn
+
+    rng = np.random.default_rng(6)
+    w = jnp.asarray(rng.standard_normal((3, 3, 4, 8)).astype(np.float32))
+    scale = jnp.asarray(1.0 + 0.1 * rng.standard_normal(8).astype(np.float32))
+    bias = jnp.asarray(0.1 * rng.standard_normal(8).astype(np.float32))
+    mean = jnp.asarray(0.1 * rng.standard_normal(8).astype(np.float32))
+    var = jnp.asarray(1.0 + 0.1 * rng.standard_normal(8).astype(np.float32) ** 2)
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, 4)).astype(np.float32))
+
+    dn = ("NHWC", "HWIO", "NHWC")
+    y = jax.lax.conv_general_dilated(x, w, (1, 1), "SAME", dimension_numbers=dn)
+    want = (y - mean) / jnp.sqrt(var + 1e-5) * scale + bias
+
+    wf, bf = fold_bn(w, scale, bias, mean, var)
+    got = jax.lax.conv_general_dilated(x, wf, (1, 1), "SAME", dimension_numbers=dn) + bf
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_rmvpe_pallas_unet_matches_flax():
+    """RMVPE with pallas_unet on (interpret) == off, same params — gates the
+    BN folding, shortcut plumbing, and the holder/param-tree equivalence."""
+    import dataclasses
+
+    from obs_rvc_tpu.models.rmvpe import RMVPE, RMVPEConfig
+
+    rng = np.random.default_rng(9)
+    mel = jnp.asarray(rng.standard_normal((1, 128, 32)).astype(np.float32))
+
+    cfg_off = RMVPEConfig(pallas_unet=False)
+    net_off = RMVPE(cfg_off)
+    v = net_off.init(jax.random.PRNGKey(0), mel)
+    # non-trivial BN stats so the folding can't silently cancel
+    import flax
+
+    v = flax.core.unfreeze(v) if hasattr(flax.core, "unfreeze") else dict(v)
+    def perturb(path, a):
+        name = jax.tree_util.keystr(path)
+        if "mean" in name:
+            return a + 0.05
+        if "var" in name:
+            return a * 1.3
+        if "scale" in name:
+            return a * 1.1
+        return a
+    v = jax.tree_util.tree_map_with_path(perturb, v)
+
+    want = np.asarray(net_off.apply(v, mel))
+    net_on = RMVPE(dataclasses.replace(cfg_off, pallas_unet=True))
+    got = np.asarray(net_on.apply(v, mel))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_rmvpe_pallas_unet_param_tree_identical():
+    """init with pallas_unet on and off must declare the SAME variable tree
+    (checkpoint converters target the flax names)."""
+    import dataclasses
+
+    from obs_rvc_tpu.models.rmvpe import RMVPE, RMVPEConfig
+
+    mel = jnp.zeros((1, 128, 32))
+    v_off = RMVPE(RMVPEConfig(pallas_unet=False)).init(jax.random.PRNGKey(0), mel)
+    v_on = RMVPE(RMVPEConfig(pallas_unet=True)).init(jax.random.PRNGKey(0), mel)
+
+    paths_off = {jax.tree_util.keystr(p): a.shape
+                 for p, a in jax.tree_util.tree_leaves_with_path(v_off)}
+    paths_on = {jax.tree_util.keystr(p): a.shape
+                for p, a in jax.tree_util.tree_leaves_with_path(v_on)}
+    assert paths_off == paths_on
