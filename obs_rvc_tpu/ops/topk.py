@@ -48,29 +48,37 @@ def _kernel(q_ref, v_ref, norm_ref, val_ref, idx_ref, best_val, best_idx, *, k, 
     base = step * block_n
     col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
 
-    # fold slab into running top-k: k rounds of max + mask
-    def fold(i, carry):
-        scores, col_ids = carry
-        m = jnp.max(scores, axis=1, keepdims=True)          # [Q, 1]
-        am = jnp.argmax(scores, axis=1)                      # [Q]
-        rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
-        hit = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) == am[:, None]
-        ids = jnp.sum(jnp.where(hit, col_ids, 0), axis=1)
+    # Threshold skip: a slab can only change the running top-k if its best
+    # score beats the worst retained score of SOME query. After the first
+    # few slabs that is almost never true (the k-th best converges fast on
+    # any non-adversarial ordering), so the whole k-round fold — the VPU-
+    # bound part of the kernel, ~50 elementwise passes over [Q, BLOCK_N] —
+    # is skipped and a slab costs one MXU dot + one max reduce, leaving the
+    # kernel HBM-bandwidth-bound (the table stream).
+    @pl.when(jnp.max(scores) > jnp.min(best_val[:]))
+    def _fold_slab():
+        # fold slab into running top-k: k rounds of max + mask
+        def fold(i, carry):
+            scores, col_ids = carry
+            m = jnp.max(scores, axis=1, keepdims=True)          # [Q, 1]
+            am = jnp.argmax(scores, axis=1)                      # [Q]
+            hit = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) == am[:, None]
+            ids = jnp.sum(jnp.where(hit, col_ids, 0), axis=1)
 
-        # insert (m, ids) into the running buffer if better than its min
-        cur_min = jnp.min(best_val[:], axis=1, keepdims=True)
-        cur_arg = jnp.argmin(best_val[:], axis=1)
-        better = m[:, 0] > cur_min[:, 0]
-        slot_hit = (
-            jax.lax.broadcasted_iota(jnp.int32, best_val.shape, 1) == cur_arg[:, None]
-        ) & better[:, None]
-        best_val[:] = jnp.where(slot_hit, m, best_val[:])
-        best_idx[:] = jnp.where(slot_hit, ids[:, None], best_idx[:])
+            # insert (m, ids) into the running buffer if better than its min
+            cur_min = jnp.min(best_val[:], axis=1, keepdims=True)
+            cur_arg = jnp.argmin(best_val[:], axis=1)
+            better = m[:, 0] > cur_min[:, 0]
+            slot_hit = (
+                jax.lax.broadcasted_iota(jnp.int32, best_val.shape, 1) == cur_arg[:, None]
+            ) & better[:, None]
+            best_val[:] = jnp.where(slot_hit, m, best_val[:])
+            best_idx[:] = jnp.where(slot_hit, ids[:, None], best_idx[:])
 
-        scores = jnp.where(hit, NEG_INF, scores)
-        return scores, col_ids
+            scores = jnp.where(hit, NEG_INF, scores)
+            return scores, col_ids
 
-    jax.lax.fori_loop(0, k, fold, (scores, col_ids))
+        jax.lax.fori_loop(0, k, fold, (scores, col_ids))
 
     @pl.when(step == n_steps - 1)
     def _():
