@@ -60,12 +60,13 @@ class SynthesizerConfig:
     flow_kernel: int = 5
     temperature: float = 0.66666
     dtype: jnp.dtype = jnp.float32
-    # Fuse the last (C<=32) upsample level's resblock bank into one Pallas
-    # kernel (ops/resblock.py): XLA runs that level at 9% MFU (4x lane
-    # padding on every elementwise pass + per-conv HBM round-trips); the
-    # fused kernel measures 3.40 vs 6.47 ms at B=32. Enabled by RvcPipeline
-    # on TPU backends; on CPU the kernel runs in (slow) interpret mode, so
-    # tests gate it explicitly instead of defaulting on.
+    # Fuse the small-channel (C<=64) upsample levels' resblock banks into one
+    # Pallas kernel each (ops/resblock.py): XLA runs those levels at 9-32%
+    # MFU (lane padding on every elementwise pass + per-conv HBM
+    # round-trips). Measured at B=32 bf16: C=32 im2col form 6.47 -> 3.09 ms,
+    # C=64 tapdot form 3.15 -> 2.95 ms. Enabled by RvcPipeline on TPU
+    # backends; on CPU the kernels run in (slow) interpret mode, so tests
+    # gate them explicitly instead of defaulting on.
     pallas_resblocks: bool = False
 
     @property
@@ -464,13 +465,16 @@ class GeneratorNSF(nn.Module):
                 rd == cfg.resblock_dilation_sizes[0]
                 for rd in cfg.resblock_dilation_sizes
             )
-            # measured crossover (scripts/groupfold_probe.py + ops/resblock.py
-            # slope benches, B=32): the fused kernel wins 6.47 -> 3.40 ms at
-            # C=32 but loses 3.20 -> 3.85 ms at C=64 (it is im2col-rotate-
-            # bound, while XLA's conv gets 2x the MXU lanes at C=64)
-            if cfg.pallas_resblocks and ch <= 32 and shared_dil:
-                from obs_rvc_tpu.ops.resblock import resblock_bank
+            # measured crossover (scripts/resblock64_probe.py + ops/resblock.py
+            # slope benches, B=32, bf16): at C=32 the im2col kernel wins
+            # 6.47 -> 3.09 ms (contraction widens 32 -> k*C); at C=64 im2col
+            # LOSES to XLA (3.69 vs 3.15 — patches traffic) but the tapdot
+            # form wins (2.95 ms — one VMEM pass per tap, C-deep MXU dots);
+            # at C>=128 XLA's native conv holds the roofline.
+            if cfg.pallas_resblocks and ch <= 64 and shared_dil:
+                from obs_rvc_tpu.ops.resblock import resblock_bank, resblock_bank_tapdot
 
+                bank = resblock_bank if ch <= 32 else resblock_bank_tapdot
                 bank_params = [b(x, params_only=True) for b in banks]
                 if not self.is_initializing():
                     # during .init flax executes this eagerly (op-by-op on
@@ -478,7 +482,7 @@ class GeneratorNSF(nn.Module):
                     # shape-preserving, so skip the kernel there (eagerly
                     # compiling+running it through the axon tunnel stalls
                     # init for minutes)
-                    x = resblock_bank(
+                    x = bank(
                         x.astype(cfg.dtype), bank_params,
                         cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes[0],
                         interpret=jax.default_backend() == "cpu",

@@ -208,3 +208,145 @@ def resblock_bank(
 
 def _zeros(ndim, b):
     return (0,) * ndim
+
+
+# ---------------------------------------------------------------------------
+# tapdot variant — the C=64 level's kernel
+# ---------------------------------------------------------------------------
+#
+# The im2col kernel above is ~3 VMEM passes per tap-element (rotate-read →
+# patches-write → MXU re-read). At C=32 that is still a big win over XLA
+# (the contraction widens from 32 to k*C), but at C=64 XLA's conv already
+# gets half the MXU lanes and the patches traffic makes im2col LOSE
+# (measured 3.69 vs XLA 3.15 ms at B=32, L=7000, bf16 —
+# scripts/resblock64_probe.py). The tapdot variant drops the patches scratch
+# entirely: each tap's lane-shifted window is read ONCE as a value and
+# consumed directly by a [C, C] @ [C, chunk] MXU dot; the k tap-dots
+# accumulate in f32. Contraction is only C (half the MXU's 128 depth at
+# C=64) but tap traffic falls to ~1 VMEM pass — measured 2.95 ms, the only
+# variant that beats XLA at C=64. (A pair-concatenated [2C, chunk] form that
+# would restore 128-deep contraction is unbuildable: Mosaic rejects concats
+# of two lane-rotated views whose lane offsets differ — "result/input offset
+# mismatch on non-concat dimension" — and staging the pair through a scratch
+# is exactly the im2col traffic this variant removes.)
+
+
+def _tap_conv(src, wt_taps, b, k: int, d: int, L: int, C: int, chunk: int,
+              dt, *, lrelu_in: bool):
+    """One dilated conv as ``k`` tap-dots, returning a VALUE per lane-chunk
+    (the caller stores). ``wt_taps``: k ``[C_out, C_in]`` tap matrices;
+    ``src``: halo-padded ``[C, L+2*PAD]`` scratch with zero halos."""
+    pad = (k * d - d) // 2
+    outs = []
+    for c0 in range(0, L, chunk):
+        acc = None
+        for t in range(k):
+            v = src[:, pl.ds(PAD + c0 + t * d - pad, chunk)]
+            if lrelu_in:
+                v = _lrelu(v)
+            y = jnp.dot(wt_taps[t], v, preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+        outs.append(acc.astype(dt) + b)
+    return outs
+
+
+def _make_tapdot_kernel(kernel_sizes, dilations, L, C, chunk, dt):
+    nbanks = len(kernel_sizes)
+
+    def kernel(x_ref, *refs):
+        w_refs = refs[:-3]
+        out_ref, a, s = refs[-3], refs[-2], refs[-1]
+
+        for scr in (a, s):
+            scr[:, pl.ds(0, PAD)] = jnp.zeros((C, PAD), dt)
+            scr[:, pl.ds(PAD + L, PAD)] = jnp.zeros((C, PAD), dt)
+
+        wi = 0
+
+        def take(n):
+            nonlocal wi
+            out = w_refs[wi : wi + n]
+            wi += n
+            return out
+
+        for j, k in enumerate(kernel_sizes):
+            a[:, pl.ds(PAD, L)] = x_ref[0]
+            for d in dilations:
+                t1 = [r[...] for r in take(k)]
+                (b1,) = take(1)
+                t2 = [r[...] for r in take(k)]
+                (b2,) = take(1)
+                outs = _tap_conv(a, t1, b1[...], k, d, L, C, chunk, dt,
+                                 lrelu_in=True)
+                for ci, c0 in enumerate(range(0, L, chunk)):
+                    s[:, pl.ds(PAD + c0, chunk)] = _lrelu(outs[ci])
+                outs = _tap_conv(s, t2, b2[...], k, 1, L, C, chunk, dt,
+                                 lrelu_in=False)
+                for ci, c0 in enumerate(range(0, L, chunk)):
+                    sl = pl.ds(PAD + c0, chunk)
+                    a[:, sl] = a[:, sl] + outs[ci]
+            if j == 0:
+                out_ref[0] = a[:, pl.ds(PAD, L)]
+            elif j + 1 < nbanks:
+                out_ref[0] = out_ref[0] + a[:, pl.ds(PAD, L)]
+            else:
+                out_ref[0] = (out_ref[0] + a[:, pl.ds(PAD, L)]) / nbanks
+
+    return kernel
+
+
+def resblock_bank_tapdot(
+    x: jnp.ndarray,
+    bank_params: list[tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]],
+    kernel_sizes: tuple[int, ...],
+    dilations: tuple[int, ...],
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused multi-receptive-field resblock bank, tapdot form.
+
+    Same contract as :func:`resblock_bank`; preferred at C=64 (see the
+    measured crossover above — at C<=32 the im2col form's wider contraction
+    wins, at C>=128 XLA's native conv does).
+    """
+    B, L, C = x.shape
+    dt = x.dtype
+    chunk = chunk_len(L)
+    S = len(dilations)
+    assert len(bank_params) == len(kernel_sizes)
+
+    flat_w = []
+    in_specs = [pl.BlockSpec((1, C, L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)]
+
+    def _add(arr):
+        flat_w.append(arr)
+        in_specs.append(
+            pl.BlockSpec(arr.shape, functools.partial(_zeros, arr.ndim),
+                         memory_space=pltpu.VMEM))
+
+    for (w1, b1, w2, b2), k in zip(bank_params, kernel_sizes):
+        assert w1.shape == (S, k, C, C) and w2.shape == (S, k, C, C)
+        assert b1.shape == (S, C) and b2.shape == (S, C)
+        for s_i in range(S):
+            for w, b in ((w1, b1), (w2, b2)):
+                wt = jnp.transpose(w[s_i], (2, 0, 1))  # [Cout, k, Cin]
+                for t in range(k):
+                    _add(wt[:, t].astype(dt))
+                _add(b[s_i].astype(dt)[:, None])
+
+    kernel = _make_tapdot_kernel(tuple(kernel_sizes), tuple(dilations), L, C,
+                                 chunk, dt)
+    out_t = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, C, L), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, L), dt),
+        scratch_shapes=[
+            pltpu.VMEM((C, L + 2 * PAD), dt),    # A (bank state)
+            pltpu.VMEM((C, L + 2 * PAD), dt),    # S (conv1 output)
+        ],
+        interpret=interpret,
+    )(jnp.swapaxes(x, 1, 2), *flat_w)
+    return jnp.swapaxes(out_t, 1, 2)

@@ -134,6 +134,35 @@ def test_resblock_bank_matches_flax(dtype, atol):
     np.testing.assert_allclose(got, ref, atol=atol, rtol=1e-3)
 
 
+# bf16 gate is wider than the im2col bank's: tapdot accumulates the k
+# tap-dots in f32 where XLA's conv accumulates across k*C at once — after 9
+# residual convs the reassociation shows up as a few elements ~2 bf16 ULPs
+# apart (observed 11/32000 at rel 1.2e-2 on the C=64 fixture)
+@pytest.mark.parametrize(
+    "dtype,atol,rtol", [(jnp.float32, 2e-5, 1e-3), (jnp.bfloat16, 3e-2, 2e-2)]
+)
+def test_resblock_bank_tapdot_matches_flax(dtype, atol, rtol):
+    """The C=64 tapdot variant: same contract as the im2col bank."""
+    from obs_rvc_tpu.ops.resblock import resblock_bank_tapdot
+
+    x, banks, variables, ks, dil = _resblock_fixture(dtype, C=64, L=250)
+    ref = None
+    params = []
+    for m, v in zip(banks, variables):
+        y = m.apply(v, x)
+        ref = y if ref is None else ref + y
+        params.append(m.apply(v, x, params_only=True))
+    ref = np.asarray((ref / len(banks)).astype(jnp.float32))
+
+    got = np.asarray(
+        resblock_bank_tapdot(x, params, ks, dil, interpret=INTERPRET).astype(
+            jnp.float32
+        )
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=atol, rtol=rtol)
+
+
 def test_generator_pallas_resblocks_matches_flax():
     """GeneratorNSF with pallas_resblocks on (interpret) == off, same params."""
     import dataclasses
