@@ -55,6 +55,10 @@ def _build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--attempts", type=int, default=3)
     parser.add_argument("--no-pallas-resblocks", action="store_true",
                         help="disable the fused resblock kernel (reliable compile)")
+    parser.add_argument("--exec-cache", action="store_true",
+                        help="serialize/deserialize the compiled step executable "
+                        "(utils/exec_cache.py) — skips the erratic remote compile "
+                        "on the second and later runs")
     return parser
 
 
@@ -190,6 +194,22 @@ def main() -> None:
             rng.standard_normal((B, cfg.sample_frame_size)).astype(np.float32) * 0.1
         )
 
+    exec_cache_status = None
+    if args.exec_cache and mode != "staged":
+        # swap the traced jit for a persisted executable: the first process
+        # pays the (erratic) remote compile once and serializes the result;
+        # every later process deserializes in seconds (utils/exec_cache.py)
+        from obs_rvc_tpu.utils.exec_cache import cached_compile
+
+        t0 = time.perf_counter()
+        step, exec_cache_status = cached_compile(
+            step, (params, state, make_chunk(), controls)
+        )
+        print(
+            f"exec-cache: {exec_cache_status} in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+
     # warmup / compile
     for _ in range(args.warmup):
         state, out = step(params, state, make_chunk(), controls)
@@ -275,6 +295,7 @@ def main() -> None:
                     "dtype": args.dtype,
                     "chunk_ms": chunk_s * 1000.0,
                     "backend": jax.default_backend(),
+                    **({"exec_cache": exec_cache_status} if exec_cache_status else {}),
                 },
             }
         )

@@ -1,8 +1,12 @@
 """1M-vector retrieval cost on the real chip (BASELINE config 4).
 
-Compares the XLA path (`knn_blend`, lax.top_k over the full [Q, N] scores)
-with the Pallas blocked top-k kernel, each with f32 and bf16 tables.
+Measures the XLA exact path (`knn_blend`, lax.top_k over the full [Q, N]
+scores) and the IVF probed-union path, each with f32 and bf16 tables.
 Amortized slope timing via `benchlib.slope_bench` (transfer-forced sync).
+
+(A Pallas blocked exact top-k kernel was measured here through round 3 and
+RETIRED: 14.6 vs 6.9 ms f32 / 9.9 vs 5.4 ms bf16 at 1M vectors — see
+BENCHMARKS.md "Retrieval" for the negative-result analysis.)
 
 Env: RETRIEVAL_N (default 1_000_000), RETRIEVAL_Q (default 120).
 """
@@ -18,14 +22,12 @@ import numpy as np
 
 from benchlib import slope_bench
 from obs_rvc_tpu.retrieval.index import knn_blend
-from obs_rvc_tpu.ops.topk import topk_l2_pallas
 
 
 def main():
     N = int(os.environ.get("RETRIEVAL_N", "1000000"))
     Q = int(os.environ.get("RETRIEVAL_Q", "120"))
     C = 768
-    interpret = jax.default_backend() == "cpu"  # Pallas needs interpret on CPU
 
     rng = np.random.default_rng(0)
     table = rng.standard_normal((N, C)).astype(np.float32)
@@ -42,16 +44,6 @@ def main():
         slope_bench(
             f"knn_blend_{tag}",
             lambda p, q: knn_blend(p["v"], p["n"], q, 0.75),
-            q0,
-            n1=4,
-            n2=24,
-            params={"v": v, "n": nrm},
-        )
-        slope_bench(
-            f"pallas_topk_{tag}",
-            lambda p, q: topk_l2_pallas(
-                q[0], p["v"], p["n"], k=8, interpret=interpret
-            )[0][None],
             q0,
             n1=4,
             n2=24,

@@ -208,3 +208,63 @@ def test_health_endpoint():
         assert snap["p50_ms"] == 12.0
     finally:
         server.shutdown()
+
+
+def test_exec_cache_roundtrip(tmp_path):
+    """cached_compile: miss compiles+persists, hit deserializes, outputs equal.
+
+    Runs in a 1-device CPU subprocess: the XLA:CPU AOT loader mis-addresses
+    the suite's 8 virtual devices on deserialize (execute_sharded wants 8
+    shards despite single-device input shardings) — a CPU-loader quirk the
+    single-chip TPU path does not have (scripts/exec_cache_probe.py is the
+    on-chip drill).
+    """
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    prog = textwrap.dedent(
+        """
+        import sys
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from obs_rvc_tpu.utils.exec_cache import cached_compile
+
+        cache_dir = sys.argv[1]
+        fn = jax.jit(lambda a, b: (a @ b).sum(axis=0) * 2.0)
+        x = jnp.arange(12.0, dtype=jnp.float32).reshape(3, 4)
+        y = jnp.ones((4, 5), jnp.float32) * 0.5
+
+        exe1, status1 = cached_compile(fn, (x, y), cache_dir=cache_dir)
+        assert status1 == "miss", status1
+        want = np.asarray(exe1(x, y))
+
+        exe2, status2 = cached_compile(fn, (x, y), cache_dir=cache_dir)
+        assert status2 == "hit", status2
+        np.testing.assert_array_equal(np.asarray(exe2(x, y)), want)
+
+        # a different program must key differently (no false hits)
+        fn3 = jax.jit(lambda a, b: (a @ b).sum(axis=0) * 3.0)
+        exe3, status3 = cached_compile(fn3, (x, y), cache_dir=cache_dir)
+        assert status3 == "miss", status3
+        np.testing.assert_allclose(np.asarray(exe3(x, y)), want * 1.5, rtol=1e-6)
+        print("exec-cache-ok")
+        """
+    )
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", prog, str(tmp_path)],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "exec-cache-ok" in out.stdout
