@@ -151,8 +151,15 @@ class RvcPipeline:
         self.contentvec_cfg = dataclasses.replace(contentvec_cfg, dtype=compute_dtype)
         if pallas_resblocks is None:
             # fused Pallas kernels on real TPU backends only — on CPU they
-            # would run in slow interpret mode (tests opt in explicitly)
-            pallas_resblocks = jax.default_backend() not in ("cpu",)
+            # would run in slow interpret mode (tests opt in explicitly).
+            # bf16 compute only: the f32 variants blow Mosaic's 16 MB
+            # scoped-VMEM budget (measured: tapdot C=64 f32 wants 21.9 MB —
+            # every block/scratch doubles vs the bf16 layouts all kernel
+            # crossovers were measured at)
+            pallas_resblocks = (
+                jax.default_backend() not in ("cpu",)
+                and compute_dtype == jnp.bfloat16
+            )
         # one switch gates every Mosaic kernel (synth resblock bank + RMVPE
         # U-Net chain) — it doubles as the remote-compile-hang escape hatch
         # (--no-pallas-resblocks)
