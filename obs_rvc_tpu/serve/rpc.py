@@ -120,6 +120,8 @@ def main(argv=None) -> None:
     parser.add_argument("--sample-rate", type=int, default=48000)
     parser.add_argument("--dest-sample-rate", type=int, default=40000)
     parser.add_argument("--checkpoint", help="RVC .pth checkpoint (random init if omitted)")
+    parser.add_argument("--exec-cache", action="store_true",
+                        help="persist compiled per-geometry executables to disk")
     args = parser.parse_args(argv)
 
     import jax
@@ -138,7 +140,7 @@ def main(argv=None) -> None:
         params = load_pipeline_params(pipe, synthesizer_path=args.checkpoint)
     else:
         params = pipe.init_params(jax.random.PRNGKey(0))
-    engine = RvcEngine(pipe, params)
+    engine = RvcEngine(pipe, params, exec_cache=args.exec_cache)
 
     if args.stdio:
         serve_stream(engine, sys.stdin.buffer, sys.stdout.buffer)

@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--speaker-id", type=int, default=0)
     p.add_argument("--f0-median-radius", type=int, default=0)
     p.add_argument("--phase-vocoder", action="store_true")
+    p.add_argument("--exec-cache", action="store_true",
+                   help="persist compiled per-geometry executables to disk "
+                   "(utils/exec_cache.py) so engine restarts skip the "
+                   "multi-minute TPU compile")
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--no-pallas-resblocks", action="store_true",
                    help="disable the fused resblock kernel (its Mosaic compile "
@@ -180,7 +184,7 @@ def main(argv=None) -> None:
         from obs_rvc_tpu.serve.rpc import serve_tcp as rpc_serve_tcp
         from obs_rvc_tpu.stream.engine import RvcEngine
 
-        engine = RvcEngine(pipe, params)
+        engine = RvcEngine(pipe, params, exec_cache=args.exec_cache)
         threads.append(threading.Thread(
             target=rpc_serve_tcp, args=(engine, args.host, args.rpc_port), daemon=True))
     for t in threads:

@@ -38,13 +38,19 @@ class EngineError(RuntimeError):
 
 class RvcEngine:
     def __init__(self, pipeline: RvcPipeline, params: Optional[dict] = None,
-                 max_geometries: int = 8):
+                 max_geometries: int = 8, exec_cache: bool = False):
         self.pipeline = pipeline
         self.params = params
         self.cache_pitchf = np.zeros(pipeline.cfg.pitch_cache_len, dtype=np.float32)
         #: geometry key -> jitted (params, cache, buf16, controls) -> (audio, cache)
         self._infer_cache: dict = {}
         self.max_geometries = max_geometries
+        #: persist per-geometry compiled executables across engine restarts
+        #: (utils/exec_cache.py) — the analog of the reference's ONNX EP
+        #: engine/timing caches (models.rs:14-17,57), but exact and
+        #: deterministic. Opt-in: the jitted fallback retraces on surprise
+        #: shapes, a deserialized executable cannot.
+        self.exec_cache = exec_cache
 
     # --- model management (rvc.rs:46-79) ---
 
@@ -138,14 +144,22 @@ class RvcEngine:
                 f"available feature frames ({hubert_len_bound})"
             )
         key = (input_len, int(sample_frame_16k_size), int(skip_head), int(return_length))
-        fn = self._jit_infer_for(key)
-
         controls = StepControls.default(pitch_shift=float(pitch_shift))
-        audio, new_cache = fn(
+        args = (
             self.params,
             jnp.asarray(self.cache_pitchf),
             jnp.asarray(input_16k, dtype=jnp.float32),
             controls,
         )
+
+        fresh = key not in self._infer_cache
+        fn = self._jit_infer_for(key)
+        if fresh and self.exec_cache:
+            from obs_rvc_tpu.utils.exec_cache import cached_compile
+
+            fn, _ = cached_compile(fn, args)
+            self._infer_cache[key] = fn
+
+        audio, new_cache = fn(*args)
         self.cache_pitchf = np.asarray(new_cache)
         return np.asarray(audio)

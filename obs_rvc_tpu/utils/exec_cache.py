@@ -35,7 +35,8 @@ from typing import Any, Callable
 
 import jax
 
-DEFAULT_DIR = "~/.cache/obs_rvc_tpu/exec"
+#: overridable for tests / deployments with managed cache volumes
+DEFAULT_DIR = os.environ.get("OBS_RVC_EXEC_CACHE_DIR", "~/.cache/obs_rvc_tpu/exec")
 
 
 def _cache_key(lowered, tag: str) -> str:

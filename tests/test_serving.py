@@ -826,3 +826,70 @@ def test_stream_session_snapshot_resume():
     s = StreamSession(RvcPipeline(cfg), params, controls)
     with pytest.raises(ValueError, match="geometry mismatch"):
         other.restore(s.snapshot())
+
+
+def test_engine_exec_cache_restart(tmp_path):
+    """RvcEngine(exec_cache=True): a restarted engine (fresh process) reuses
+    the persisted per-geometry executable — the deterministic replacement
+    for the reference's ONNX EP engine/timing caches (models.rs:14-17,57).
+
+    Runs in a 1-device CPU subprocess (the XLA:CPU AOT loader mis-addresses
+    the suite's 8 virtual devices on deserialize; single-chip TPU is fine —
+    validated on-chip, BENCHMARKS.md "compile behavior")."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    prog = textwrap.dedent(
+        """
+        import sys
+
+        import numpy as np
+
+        from obs_rvc_tpu.config import ChunkConfig
+        from obs_rvc_tpu.stream import RvcPipeline
+        from obs_rvc_tpu.stream.engine import RvcEngine
+
+        cfg = ChunkConfig.build(
+            sample_rate=48000, sample_length=0.10, extra_inference_time=0.50
+        )
+        pipe = RvcPipeline(cfg)
+        params = pipe.init_params_fast()
+        rng = np.random.default_rng(0)
+        buf = (rng.standard_normal(cfg.input_buffer_16k_size) * 0.1).astype(
+            np.float32
+        )
+
+        eng1 = RvcEngine(pipe, params, exec_cache=True)
+        out1 = eng1.infer(buf, cfg.sample_frame_16k_size, 0, cfg.skip_head,
+                          cfg.return_length)
+        # "restart": a fresh engine object with an empty in-memory cache —
+        # its first infer takes the disk-hit path through cached_compile
+        eng2 = RvcEngine(pipe, params, exec_cache=True)
+        eng2.cache_pitchf = eng1.cache_pitchf * 0  # reset state like eng1 had
+        eng1b = RvcEngine(pipe, params, exec_cache=False)
+        out_ref = eng1b.infer(buf, cfg.sample_frame_16k_size, 0, cfg.skip_head,
+                              cfg.return_length)
+        out2 = eng2.infer(buf, cfg.sample_frame_16k_size, 0, cfg.skip_head,
+                          cfg.return_length)
+        np.testing.assert_allclose(out2, out_ref, atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(out1, out_ref, atol=1e-5, rtol=1e-5)
+        print("engine-exec-cache-ok")
+        """
+    )
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        OBS_RVC_EXEC_CACHE_DIR=str(tmp_path),
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", prog],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "engine-exec-cache-ok" in out.stdout
+    assert list(tmp_path.glob("*.exe.pkl")), "no executable persisted"
