@@ -20,13 +20,13 @@ PEAK_BF16_TFLOPS = 197.0
 PEAK_F32_TFLOPS = 49.0
 HBM_GBPS = 820.0
 
-# measured sustained per-stage times (ms), device-resident inputs, bf16 —
-# see BENCHMARKS.md; update when re-measured
+# measured sustained per-stage times (ms), device-resident inputs, bf16,
+# B=1, round-3 kernel set — see BENCHMARKS.md; update when re-measured
 MEASURED = {
-    "contentvec": 0.38,
-    "rmvpe": 0.47,
-    "synthesizer": 0.37,
-    "retrieval@1M": 6.0,
+    "contentvec": 0.964,
+    "rmvpe": 0.510,
+    "synthesizer": 0.997,
+    "retrieval@1M": 0.48,  # ivf (nlist=16000, probes=120); exact is 6.93
 }
 
 
@@ -39,7 +39,11 @@ class Stage:
 
     def report(self):
         ai = self.gflops * 1e9 / (self.mbytes * 1e6) if self.mbytes else float("inf")
-        t_compute = self.gflops / (PEAK_BF16_TFLOPS * 1e3)  # ms
+        # GFLOP / (TFLOP/s) = ms directly (1e9 FLOP / 1e12 FLOP/s = 1e-3 s).
+        # (pre-round-3 versions divided by a further 1e3, understating every
+        # compute floor 1000x — the old "0.5 ms sum of floors" came from
+        # memory floors alone)
+        t_compute = self.gflops / PEAK_BF16_TFLOPS  # ms
         t_mem = self.mbytes / HBM_GBPS  # ms
         floor = max(t_compute, t_mem)
         line = (
@@ -57,22 +61,26 @@ def main():
     T = 119
     rf = rmvpe_gflops(T_mel)
     sf = synth_gflops(T_ret)
+    # param counts from init_params_fast: contentvec 94.4M, rmvpe 90.5M
+    # (89M of it the U-Net's C=256/512 3x3 convs), synthesizer 27.5M
     cm = 94.4e6 * 2 / 1e6 + T * 768 * 4 * 4 / 1e6
-    rm = 55e6 * 2 / 1e6 + 5.0
-    sm = 55e6 * 2 / 1e6 + T_ret * 400 * 4 / 1e6
+    rm = 90.5e6 * 2 / 1e6 + 5.0
+    sm = 27.5e6 * 2 / 1e6 + T_ret * 400 * 4 / 1e6
     stages = [
         Stage("contentvec", cf, cm, MEASURED.get("contentvec")),
         Stage("rmvpe", rf, rm, MEASURED.get("rmvpe")),
         Stage("synthesizer", sf, sm, MEASURED.get("synthesizer")),
         Stage("mel(frontend)", 2 * 64 * 1024 * 513 * 2 / 1e9, 3.0, None),
-        Stage("retrieval@1M", 2 * 37 * 1e6 * 768 / 1e9, 3100.0, MEASURED.get("retrieval@1M")),
+        # ivf: probes=120 of 16000 lists, lcap=64 -> ~7680 rows/query slab
+        Stage("retrieval@1M", 2 * 120 * 7680 * 768 / 1e9, 120 * 64 * 768 * 4 / 1e6 + 49.0,
+              MEASURED.get("retrieval@1M")),
     ]
     print(f"TPU v5e: {PEAK_BF16_TFLOPS} TF/s bf16, {HBM_GBPS} GB/s HBM")
     print(f"(contentvec frames T={T})")
     total_floor = 0.0
     for s in stages:
         s.report()
-        total_floor += max(s.gflops / (PEAK_BF16_TFLOPS * 1e3), s.mbytes / HBM_GBPS)
+        total_floor += max(s.gflops / PEAK_BF16_TFLOPS, s.mbytes / HBM_GBPS)
     print(f"\nsum of stage floors: {total_floor:.3f} ms per 300 ms chunk")
     print("see BENCHMARKS.md for current measured sustained step time")
 
