@@ -63,6 +63,10 @@ def _build_parser() -> argparse.ArgumentParser:
                         "erratic remote compile (default on; TPU-validated: "
                         "save 4.2s-compile/1MB, load 0.1s, outputs exact)")
     parser.add_argument("--no-exec-cache", dest="exec_cache", action="store_false")
+    parser.add_argument("--pitch-algorithm", default="rmvpe",
+                        choices=["rmvpe", "crepe", "fcpe"],
+                        help="pitch extractor to bench (reference ships rmvpe; "
+                        "crepe/fcpe are the upstream-RVC extras)")
     return parser
 
 
@@ -164,6 +168,7 @@ def main() -> None:
         cfg,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         pallas_resblocks=False if args.no_pallas_resblocks else None,
+        pitch_algorithm=args.pitch_algorithm,
     )
     params = pipe.init_params_fast(0)
     if args.dtype == "bfloat16":
@@ -277,6 +282,8 @@ def main() -> None:
 
     gflops_per_step = B * pipeline_gflops_per_chunk(cfg)
     peak_tflops = 197.0 if args.dtype == "bfloat16" else 49.0
+    # pipeline_gflops assumes the rmvpe pitch stage; crepe/fcpe rows carry
+    # approximate MFU (their pitch nets differ by <2 GFLOP/chunk)
     mfu = (gflops_per_step / (sustained_ms / 1000.0)) / (peak_tflops * 1e3)
 
     print(
@@ -295,6 +302,7 @@ def main() -> None:
                     "model_gflops_per_chunk": round(gflops_per_step / B, 2),
                     "batch": B,
                     "mode": mode,
+                    "pitch_algorithm": args.pitch_algorithm,
                     "pallas_resblocks": not args.no_pallas_resblocks,
                     "dtype": args.dtype,
                     "chunk_ms": chunk_s * 1000.0,

@@ -465,16 +465,17 @@ class GeneratorNSF(nn.Module):
                 rd == cfg.resblock_dilation_sizes[0]
                 for rd in cfg.resblock_dilation_sizes
             )
-            # measured crossover (scripts/resblock64_probe.py + ops/resblock.py
-            # slope benches, B=32, bf16): at C=32 the im2col kernel wins
-            # 6.47 -> 3.09 ms (contraction widens 32 -> k*C); at C=64 im2col
-            # LOSES to XLA (3.69 vs 3.15 — patches traffic) but the tapdot
-            # form wins (2.95 ms — one VMEM pass per tap, C-deep MXU dots);
+            # measured crossovers (scripts/resblock64_probe.py, B=32, bf16):
+            # tapdot wins BOTH small levels — C=64: 2.95 vs XLA 3.15 vs
+            # im2col 3.69 ms; C=32: 2.96 vs XLA 6.43 vs im2col 3.12 ms —
+            # and Mosaic-compiles 5.6x faster than im2col (96 vs 542 s).
+            # im2col keeps the C<32 levels (48k models have a C=16 level
+            # where a 16-deep tapdot contraction would idle 7/8 of the MXU);
             # at C>=128 XLA's native conv holds the roofline.
             if cfg.pallas_resblocks and ch <= 64 and shared_dil:
                 from obs_rvc_tpu.ops.resblock import resblock_bank, resblock_bank_tapdot
 
-                bank = resblock_bank if ch <= 32 else resblock_bank_tapdot
+                bank = resblock_bank if ch < 32 else resblock_bank_tapdot
                 bank_params = [b(x, params_only=True) for b in banks]
                 if not self.is_initializing():
                     # during .init flax executes this eagerly (op-by-op on

@@ -25,6 +25,7 @@ from typing import Optional
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 logger = logging.getLogger(__name__)
 
@@ -45,12 +46,18 @@ class StreamSession:
         mode: str = "staged",
         stage_timing: bool = False,
         metrics: Optional[ChunkMetrics] = None,
+        exec_cache: bool = False,
     ):
         self.pipeline = pipeline
         self.params = params
         self.controls = controls if controls is not None else StepControls.default()
         #: "staged" (default; robust compile, per-stage programs) or "fused"
         self.mode = mode
+        #: fused mode only: persist/reuse the compiled step executable
+        #: (utils/exec_cache.py) so a primed server starts in seconds instead
+        #: of re-entering the erratic multi-minute remote compile
+        self.exec_cache = exec_cache
+        self._fused_step = None
         #: collect per-stage wall times into metrics (staged mode only;
         #: forces per-stage sync — diagnostics, not peak throughput)
         self.stage_timing = stage_timing
@@ -113,7 +120,18 @@ class StreamSession:
                         if stage_times:
                             self.metrics.record_stages(stage_times)
                     else:
-                        self.state, out = self.pipeline.jit_step(
+                        if self._fused_step is None:
+                            fn = self.pipeline.jit_step
+                            if self.exec_cache:
+                                from obs_rvc_tpu.utils.exec_cache import cached_compile
+
+                                fn, _ = cached_compile(
+                                    fn,
+                                    (self.params, self.state,
+                                     jnp.asarray(chunk), self.controls),
+                                )
+                            self._fused_step = fn
+                        self.state, out = self._fused_step(
                             self.params, self.state, chunk, self.controls
                         )
                     out = np.asarray(jax.block_until_ready(out))

@@ -36,17 +36,60 @@ from typing import Any, Callable
 import jax
 
 #: overridable for tests / deployments with managed cache volumes
-DEFAULT_DIR = os.environ.get("OBS_RVC_EXEC_CACHE_DIR", "~/.cache/obs_rvc_tpu/exec")
+DEFAULT_DIR = "~/.cache/obs_rvc_tpu/exec"
+#: bump to invalidate every cached executable (key-scheme changes)
+KEY_VERSION = "2"
 
 
-def _cache_key(lowered, tag: str) -> str:
+def _default_dir() -> pathlib.Path:
+    # env read at call time so tests / late configuration take effect
+    return pathlib.Path(
+        os.environ.get("OBS_RVC_EXEC_CACHE_DIR", DEFAULT_DIR)
+    ).expanduser()
+
+
+def _pin_unsharded(args):
+    """Replace uncommitted leaves (numpy arrays, python scalars) with
+    ShapeDtypeStructs pinned to device 0.
+
+    AOT-compiled executables bind their input shardings at lower time; an
+    uncommitted host array can lower as fully-replicated across every
+    visible device, producing an executable that then rejects the
+    single-shard arrays callers actually pass ("expected N shards, got 1").
+    Committed jax Arrays keep their real shardings (TP/DP params pass
+    through untouched)."""
+    import numpy as np
+    from jax.sharding import SingleDeviceSharding
+
     dev = jax.devices()[0]
+    single = SingleDeviceSharding(dev)
+
+    def pin(leaf):
+        if isinstance(leaf, jax.Array):
+            return leaf
+        arr = np.asarray(leaf)
+        return jax.ShapeDtypeStruct(arr.shape, arr.dtype, sharding=single)
+
+    return jax.tree.map(pin, args)
+
+
+def _cache_key(lowered, pinned_args, tag: str) -> str:
+    dev = jax.devices()[0]
+    # input shardings must be part of the key: a single-device sharding can
+    # leave no trace in the StableHLO text, and an executable compiled for a
+    # different input layout is uncallable with these args
+    shardings = jax.tree.map(
+        lambda a: str(getattr(a, "sharding", None)), pinned_args
+    )
     src = "\x00".join(
         [
+            KEY_VERSION,
             lowered.as_text(),
+            str(shardings),
             jax.__version__,
             getattr(dev, "device_kind", "unknown"),
             str(getattr(dev, "platform", "")),
+            str(jax.device_count()),
             tag,
         ]
     )
@@ -57,7 +100,7 @@ def cached_compile(
     jitted: Callable,
     example_args: tuple,
     *,
-    cache_dir: str | pathlib.Path = DEFAULT_DIR,
+    cache_dir: str | pathlib.Path | None = None,
     tag: str = "",
 ) -> tuple[Any, str]:
     """Compile ``jitted`` for ``example_args``, reusing a serialized
@@ -78,11 +121,14 @@ def cached_compile(
         serialize,
     )
 
-    cache_dir = pathlib.Path(cache_dir).expanduser()
+    cache_dir = (
+        _default_dir() if cache_dir is None else pathlib.Path(cache_dir).expanduser()
+    )
     cache_dir.mkdir(parents=True, exist_ok=True)
 
-    lowered = jitted.lower(*example_args)
-    path = cache_dir / f"{_cache_key(lowered, tag)}.exe.pkl"
+    pinned = _pin_unsharded(example_args)
+    lowered = jitted.lower(*pinned)
+    path = cache_dir / f"{_cache_key(lowered, pinned, tag)}.exe.pkl"
 
     if path.exists():
         payload, in_tree, out_tree = pickle.loads(path.read_bytes())

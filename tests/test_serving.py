@@ -893,3 +893,29 @@ def test_engine_exec_cache_restart(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "engine-exec-cache-ok" in out.stdout
     assert list(tmp_path.glob("*.exe.pkl")), "no executable persisted"
+
+
+def test_stream_session_fused_exec_cache(tmp_path, monkeypatch):
+    """Fused-mode session with exec_cache: output matches the staged session
+    and the compiled executable is persisted to disk (serve.server
+    --step-mode fused --exec-cache). The disk-hit path is covered by
+    test_engine_exec_cache_restart (1-device subprocess — the 8-virtual-
+    device CPU AOT loader can't execute deserialized programs)."""
+    monkeypatch.setenv("OBS_RVC_EXEC_CACHE_DIR", str(tmp_path))
+    cfg = small_cfg(skip_inference=True)
+    pipe = RvcPipeline(cfg)
+
+    rng = np.random.default_rng(5)
+    n = 3 * cfg.sample_frame_size
+    wav = (rng.standard_normal(n) * 0.1).astype(np.float32)
+
+    outs = {}
+    for mode, cache in (("staged", False), ("fused", True)):
+        sess = StreamSession(pipe, params={}, mode=mode, exec_cache=cache)
+        sess.push_audio(wav)
+        sess.process_pending(max_chunks=3)
+        outs[mode] = sess.pull_audio(n)
+        assert sess.metrics.snapshot().errors == 0
+
+    np.testing.assert_allclose(outs["fused"], outs["staged"], atol=1e-6)
+    assert list(tmp_path.glob("*.exe.pkl")), "fused executable not persisted"
