@@ -33,12 +33,20 @@ DT = jnp.bfloat16 if os.environ.get("DTYPE", "bfloat16") == "bfloat16" else jnp.
 T, W0 = 64, 128
 N_BLOCKS = 4
 
-# (tag, H, W, Cin, C) — the four levels RMVPEConfig.pallas_unet_max_ch=32 routes
+# (tag, H, W, Cin, C) — every DeepUnet level geometry at the default chunk.
+# pallas_unet_max_ch=32 routes enc0/enc1/dec3/dec4; the rest are listed so a
+# LEVELS= run can answer whether raising max_ch pays (the C>=64 levels run at
+# tiny feature maps, so their XLA chains may already be cheap).
 LEVELS = [
     ("enc0", T, W0, 1, 16),        # [B,64,128,1] -> 16
     ("enc1", T // 2, W0 // 2, 16, 32),
-    ("dec3", T // 2, W0 // 2, 64, 32),   # concat(32 up + 32 skip) -> 32
-    ("dec4", T, W0, 32, 16),             # concat(16 up + 16 skip) -> 16
+    ("enc2", T // 4, W0 // 4, 32, 64),
+    ("enc3", T // 8, W0 // 8, 64, 128),
+    ("enc4", T // 16, W0 // 16, 128, 256),
+    ("dec1", T // 8, W0 // 8, 256, 128),  # concat(128 up + 128 skip) -> 128
+    ("dec2", T // 4, W0 // 4, 128, 64),   # concat(64 up + 64 skip) -> 64
+    ("dec3", T // 2, W0 // 2, 64, 32),    # concat(32 up + 32 skip) -> 32
+    ("dec4", T, W0, 32, 16),              # concat(16 up + 16 skip) -> 16
 ]
 
 
@@ -115,11 +123,13 @@ def main():
     if os.environ.get("FULL", "1") != "1":
         return
     mel = jnp.asarray(rng.standard_normal((B, 128, T)).astype(np.float32))
-    for pallas in (True, False):
-        cfg = RMVPEConfig(dtype=DT, pallas_unet=pallas)
+    # MAX_CH: comma list of pallas_unet_max_ch values to sweep (0 = XLA only)
+    for max_ch in [int(v) for v in os.environ.get("MAX_CH", "32,0").split(",")]:
+        cfg = RMVPEConfig(dtype=DT, pallas_unet=max_ch > 0,
+                          pallas_unet_max_ch=max(max_ch, 32))
         net = RMVPE(cfg)
         params = jax.jit(net.init)(jax.random.PRNGKey(0), mel)
-        slope_bench(f"rmvpe_full pallas={int(pallas)}",
+        slope_bench(f"rmvpe_full max_ch={max_ch}",
                     lambda p, m: net.apply(p, m), mel, params=params)
 
 
