@@ -158,7 +158,8 @@ def main(argv=None) -> None:
     if args.pool:
         pool = StreamPool(pipe, params, capacity=args.pool,
                           batch_min=max(1, args.pool // 4),
-                          default_controls=controls)
+                          default_controls=controls,
+                          mode=args.step_mode, exec_cache=args.exec_cache)
         pool.start()
         metrics = pool.metrics
 

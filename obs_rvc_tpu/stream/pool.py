@@ -50,10 +50,22 @@ class StreamPool:
         batch_min: int = 1,
         batch_deadline_ms: float = 30.0,
         default_controls: Optional[StepControls] = None,
+        mode: str = "staged",
+        exec_cache: bool = False,
     ):
+        if mode not in ("staged", "fused"):
+            raise ValueError(f"unknown pool mode {mode!r}")
         self.pipeline = pipeline
         self.params = params
         self.capacity = capacity
+        #: "staged" (default; robust compile) or "fused" (one monolithic
+        #: batched executable per tick — the Pallas-kernel serving path;
+        #: same semantics, gated by test_stream_pool_fused_matches_staged)
+        self.mode = mode
+        #: fused mode only: persist/reuse the compiled batched step
+        #: (utils/exec_cache.py) so a primed server skips the remote compile
+        self.exec_cache = exec_cache
+        self._fused_step = None
         #: controls a slot starts with when attach() gets none — lets the
         #: server's CLI-derived controls apply to pool slots the same way
         #: they do to per-connection sessions
@@ -196,9 +208,28 @@ class StreamPool:
         failed = False
         with self.metrics.time_chunk():
             try:
-                new_states, out = self.pipeline.staged_step(
-                    self.params, states, jnp.asarray(chunks), controls, batched=True
-                )
+                if self.mode == "staged":
+                    new_states, out = self.pipeline.staged_step(
+                        self.params, states, jnp.asarray(chunks), controls, batched=True
+                    )
+                else:
+                    if self._fused_step is None:
+                        # NO donation (unlike pipeline.jit_step_batch): the
+                        # pre-step states are still needed for the masked
+                        # frozen/stale-epoch merge below
+                        fn = jax.jit(
+                            jax.vmap(self.pipeline.step, in_axes=(None, 0, 0, 0))
+                        )
+                        if self.exec_cache:
+                            from obs_rvc_tpu.utils.exec_cache import cached_compile
+
+                            fn, _ = cached_compile(
+                                fn, (self.params, states, jnp.asarray(chunks), controls)
+                            )
+                        self._fused_step = fn
+                    new_states, out = self._fused_step(
+                        self.params, states, jnp.asarray(chunks), controls
+                    )
                 out = np.asarray(jax.block_until_ready(out))
             except Exception:
                 logger.exception(

@@ -416,6 +416,47 @@ def test_stream_pool_starved_slot_freezes():
     np.testing.assert_array_equal(starved, uninterrupted)
 
 
+def test_stream_pool_fused_matches_staged(tmp_path, monkeypatch):
+    """Pool fused mode (one monolithic batched executable + exec cache —
+    serve.server --pool N --step-mode fused) must produce the staged pool's
+    exact outputs, including across a starved tick (the masked merge needs
+    the PRE-step states, so the fused step must not donate them)."""
+    monkeypatch.setenv("OBS_RVC_EXEC_CACHE_DIR", str(tmp_path))
+    from obs_rvc_tpu.stream import StreamPool
+
+    cfg = small_cfg(skip_inference=True)
+    pipe = RvcPipeline(cfg)
+    n_chunks = 4
+    chunk = cfg.sample_frame_size
+    rng = np.random.default_rng(7)
+    wav = rng.standard_normal(n_chunks * chunk).astype(np.float32) * 0.1
+
+    def run(mode, exec_cache=False):
+        pool = StreamPool(pipe, params={}, capacity=2, mode=mode,
+                          exec_cache=exec_cache)
+        s = pool.attach()
+        other = pool.attach()  # keeps the pool ticking while s starves
+        fed = ticks = 0
+        while fed < n_chunks:
+            starving = fed == 2 and ticks == 2  # one starved tick mid-stream
+            if not starving:
+                pool.push_audio(s, wav[fed * chunk : (fed + 1) * chunk])
+                fed += 1
+            pool.push_audio(other, np.zeros(chunk, np.float32))
+            ticks += 1
+            pool.process_pending()
+        assert pool.metrics.snapshot().errors == 0
+        return pool.pull_audio(s, n_chunks * chunk)
+
+    staged = run("staged")
+    fused = run("fused", exec_cache=True)
+    np.testing.assert_allclose(fused, staged, atol=1e-6)
+    assert list(tmp_path.glob("*.exe.pkl")), "pool fused executable not persisted"
+
+    with pytest.raises(ValueError):
+        StreamPool(pipe, params={}, capacity=1, mode="bogus")
+
+
 def test_stream_pool_failure_observable():
     """A failing batched step logs, bumps the error counter, and emits
     silence for fed slots (reference's logged recovery, lib.rs:716-727)."""
