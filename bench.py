@@ -212,7 +212,9 @@ def main() -> None:
 
         t0 = time.perf_counter()
         step, exec_cache_status = cached_compile(
-            step, (params, state, make_chunk(), controls)
+            step, (params, state, make_chunk(), controls),
+            semantic_key=pipe.fingerprint()
+            + ("|jit_step" if B == 1 else "|jit_step_batch"),
         )
         print(
             f"exec-cache: {exec_cache_status} in {time.perf_counter() - t0:.1f}s",

@@ -157,7 +157,10 @@ class RvcEngine:
         if fresh and self.exec_cache:
             from obs_rvc_tpu.utils.exec_cache import cached_compile
 
-            fn, _ = cached_compile(fn, args)
+            fn, _ = cached_compile(
+                fn, args,
+                semantic_key=self._pipeline_for(key).fingerprint() + "|engine_infer",
+            )
             self._infer_cache[key] = fn
 
         audio, new_cache = fn(*args)

@@ -205,6 +205,38 @@ class RvcPipeline:
         cfg.validate()
         assert cfg.skip_head + cfg.return_length <= self.feature_frames_100hz
 
+    def fingerprint(self) -> str:
+        """Deterministic identity of every constructor input that shapes the
+        traced program — the ``semantic_key`` base for
+        :func:`obs_rvc_tpu.utils.exec_cache.cached_compile`. Callers append a
+        call-site label (``"|jit_step"``, ``"|pool_fused"``, …) because the
+        jit wrapper (donation, vmap axes) is part of the executable's
+        identity but not of this fingerprint. Traced *code* changes are
+        covered separately by ``traced_source_fingerprint()``."""
+        r = self.retrieval_index
+        retrieval = (
+            "none"
+            if r is None
+            else f"k={r.k},mode={r.mode},probes={r.probes},nprobe={r.nprobe},"
+            f"lcap={r.lcap},mesh={None if r.mesh is None else r.mesh.shape}"
+        )
+        return "|".join(
+            [
+                repr(self.cfg),
+                str(self.version),
+                f"median={self.f0_median_radius}",
+                f"retrieval={retrieval}",
+                f"keyshift={self.keyshift}",
+                f"pvoc={self.phase_vocoder}",
+                f"pitch={self.pitch_algorithm}",
+                repr(self.contentvec_cfg),
+                repr(self.rmvpe_cfg),
+                repr(self.synth_cfg),
+                repr(self.crepe_cfg),
+                repr(self.fcpe_cfg),
+            ]
+        )
+
     # ------------------------------------------------------------------
     # parameter initialization
     # ------------------------------------------------------------------

@@ -129,6 +129,8 @@ class StreamSession:
                                     fn,
                                     (self.params, self.state,
                                      jnp.asarray(chunk), self.controls),
+                                    semantic_key=self.pipeline.fingerprint()
+                                    + "|jit_step",
                                 )
                             self._fused_step = fn
                         self.state, out = self._fused_step(

@@ -4,21 +4,46 @@ The stock jax persistent compilation cache cannot be used on the axon
 remote-compile backend (hooking it hangs the compile service —
 docs/DEVELOPMENT.md item 6), and that service itself is erratic: the same
 fused-step program compiles in 2 s or hangs indefinitely (BENCHMARKS.md
-"compile behavior"). This module is the deterministic alternative: lower the
-jitted function, key the cache on the lowered StableHLO text (plus jax
-version / device kind / an optional caller tag), and either
-``deserialize_and_load`` the previously serialized executable (seconds) or
-compile once and persist the bytes.
+"compile behavior"). This module is the deterministic alternative: compile
+the jitted function once, ``serialize`` the PJRT executable to disk, and let
+every later process ``deserialize_and_load`` it in seconds.
 
 This replaces the reference's ONNXRuntime EP engine/timing caches
 (`/root/reference/rvc/src/models.rs:14-17,57`) at the XLA layer.
 
+Two key schemes:
+
+- **semantic key** (default at the call sites): the caller passes a string
+  that identifies the traced program — pipeline fingerprint + call-site
+  label (``RvcPipeline.fingerprint()``). The cache key is derived from that
+  string, a hash of the traced-code source files, the example args'
+  shapes/dtypes/shardings, and the jax/device identity — so a HIT requires
+  **no trace / no lower at all**. This is what makes a warm start seconds
+  instead of minutes: keying on the lowered StableHLO text forced every
+  startup to pay a full monolith trace+lower (measured 514.8 s through the
+  tunnel, BENCH_r03) before it could even look up the cache.
+- **HLO-text key** (fallback; forced via ``OBS_RVC_EXEC_CACHE_HLO_KEY=1`` or
+  by passing no ``semantic_key``): lower first, key on ``as_text()``.
+  Maximally safe — any program change invalidates — but the lookup itself
+  costs a full lowering.
+
+The semantic scheme's safety net is :func:`traced_source_fingerprint`: any
+edit to a module that defines traced computation (config, dsp, models, ops,
+retrieval, parallel, the pipeline/state) changes the key. Callers own the
+rest of the contract: the ``semantic_key`` must distinguish every distinct
+jitted wrapper over the same pipeline (donation, vmap axes, call-site), and
+anything not visible in it must not change the program.
+
 Usage::
 
     from obs_rvc_tpu.utils.exec_cache import cached_compile
-    step, status = cached_compile(pipe.jit_step, (params, state, chunk, controls))
-    # status in {"hit", "miss"}; step is a jax Compiled/Loaded executable
-    # callable with exactly the example args' shapes/dtypes/shardings.
+    step, status = cached_compile(
+        pipe.jit_step, (params, state, chunk, controls),
+        semantic_key=pipe.fingerprint() + "|jit_step",
+    )
+    # status in {"hit", "miss", "uncached"}; step is a Compiled/Loaded
+    # executable callable with exactly the example args' shapes/dtypes/
+    # shardings.
 
 The returned executable is shape-specialized: unlike the jitted original it
 will not retrace for new shapes — callers own that contract (the streaming
@@ -27,18 +52,50 @@ pipeline's shapes are static per ChunkConfig, so this is a fit).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 import pathlib
 import pickle
-from typing import Any, Callable
+from typing import Any, Callable, Optional
 
 import jax
 
 #: overridable for tests / deployments with managed cache volumes
 DEFAULT_DIR = "~/.cache/obs_rvc_tpu/exec"
 #: bump to invalidate every cached executable (key-scheme changes)
-KEY_VERSION = "2"
+KEY_VERSION = "3"
+
+#: modules whose source defines traced computation — any edit here can
+#: change a compiled program, so their bytes are part of every semantic
+#: cache key. Host-only modules (serve/, stream/pool|scheduler|engine|
+#: ringbuf, utils/) are deliberately excluded: editing the server must not
+#: invalidate a multi-minute TPU compile. A NEW module that adds traced
+#: code must be covered by one of these globs.
+_TRACED_GLOBS = (
+    "config.py",
+    "dsp/*.py",
+    "models/*.py",
+    "ops/*.py",
+    "retrieval/*.py",
+    "parallel/*.py",
+    "stream/pipeline.py",
+    "stream/state.py",
+)
+
+
+@functools.cache
+def traced_source_fingerprint() -> str:
+    """sha256 over the source bytes of every traced-code module (sorted
+    paths, path + content). Computed once per process (~400 kB of source)."""
+    pkg_root = pathlib.Path(__file__).resolve().parent.parent
+    h = hashlib.sha256()
+    for pattern in _TRACED_GLOBS:
+        for p in sorted(pkg_root.glob(pattern)):
+            h.update(str(p.relative_to(pkg_root)).encode())
+            h.update(b"\x00")
+            h.update(p.read_bytes())
+    return h.hexdigest()
 
 
 def _default_dir() -> pathlib.Path:
@@ -73,27 +130,31 @@ def _pin_unsharded(args):
     return jax.tree.map(pin, args)
 
 
-def _cache_key(lowered, pinned_args, tag: str) -> str:
+def _env_key_parts(pinned_args) -> list[str]:
+    """Key material shared by both schemes: arg signature + jax/device
+    identity. Input shardings must be part of the key — a single-device
+    sharding can leave no trace in the StableHLO text, and an executable
+    compiled for a different input layout is uncallable with these args."""
     dev = jax.devices()[0]
-    # input shardings must be part of the key: a single-device sharding can
-    # leave no trace in the StableHLO text, and an executable compiled for a
-    # different input layout is uncallable with these args
-    shardings = jax.tree.map(
-        lambda a: str(getattr(a, "sharding", None)), pinned_args
+    sig = jax.tree.map(
+        lambda a: (
+            str(getattr(a, "shape", ())),
+            str(getattr(a, "dtype", type(a).__name__)),
+            str(getattr(a, "sharding", None)),
+        ),
+        pinned_args,
     )
-    src = "\x00".join(
-        [
-            KEY_VERSION,
-            lowered.as_text(),
-            str(shardings),
-            jax.__version__,
-            getattr(dev, "device_kind", "unknown"),
-            str(getattr(dev, "platform", "")),
-            str(jax.device_count()),
-            tag,
-        ]
-    )
-    return hashlib.sha256(src.encode()).hexdigest()[:32]
+    return [
+        str(sig),
+        jax.__version__,
+        getattr(dev, "device_kind", "unknown"),
+        str(getattr(dev, "platform", "")),
+        str(jax.device_count()),
+    ]
+
+
+def _digest(parts: list[str]) -> str:
+    return hashlib.sha256("\x00".join(parts).encode()).hexdigest()[:32]
 
 
 def cached_compile(
@@ -102,6 +163,7 @@ def cached_compile(
     *,
     cache_dir: str | pathlib.Path | None = None,
     tag: str = "",
+    semantic_key: Optional[str] = None,
 ) -> tuple[Any, str]:
     """Compile ``jitted`` for ``example_args``, reusing a serialized
     executable when one exists.
@@ -110,8 +172,12 @@ def cached_compile(
       jitted: a ``jax.jit``-wrapped callable (must expose ``.lower``).
       example_args: concrete (or ShapeDtypeStruct) args fixing shapes/dtypes.
       cache_dir: directory for the pickled executables.
-      tag: extra key material (e.g. config digest) if the HLO alone could
-        collide across semantically different builds.
+      tag: extra key material (legacy; folded into both schemes).
+      semantic_key: program-identity string (pipeline fingerprint +
+        call-site label). When set, a cache hit needs NO trace/lower — the
+        key is (semantic_key, traced-source hash, arg signature, jax/device
+        identity). When None (or ``OBS_RVC_EXEC_CACHE_HLO_KEY=1``), fall
+        back to lowering and keying on the StableHLO text.
 
     Returns ``(executable, status)`` with status ``"hit"`` / ``"miss"`` /
     ``"uncached"`` (backend refused serialization — executable still valid).
@@ -127,12 +193,29 @@ def cached_compile(
     cache_dir.mkdir(parents=True, exist_ok=True)
 
     pinned = _pin_unsharded(example_args)
-    lowered = jitted.lower(*pinned)
-    path = cache_dir / f"{_cache_key(lowered, pinned, tag)}.exe.pkl"
+    env = _env_key_parts(pinned)
 
-    if path.exists():
-        payload, in_tree, out_tree = pickle.loads(path.read_bytes())
-        return deserialize_and_load(payload, in_tree, out_tree), "hit"
+    use_semantic = semantic_key is not None and not os.environ.get(
+        "OBS_RVC_EXEC_CACHE_HLO_KEY"
+    )
+    if use_semantic:
+        key = _digest(
+            [KEY_VERSION, "semantic", semantic_key, traced_source_fingerprint()]
+            + env
+            + [tag]
+        )
+        path = cache_dir / f"{key}.exe.pkl"
+        if path.exists():
+            payload, in_tree, out_tree = pickle.loads(path.read_bytes())
+            return deserialize_and_load(payload, in_tree, out_tree), "hit"
+        lowered = jitted.lower(*pinned)
+    else:
+        lowered = jitted.lower(*pinned)
+        key = _digest([KEY_VERSION, "hlo", lowered.as_text()] + env + [tag])
+        path = cache_dir / f"{key}.exe.pkl"
+        if path.exists():
+            payload, in_tree, out_tree = pickle.loads(path.read_bytes())
+            return deserialize_and_load(payload, in_tree, out_tree), "hit"
 
     compiled = lowered.compile()
     try:

@@ -252,6 +252,42 @@ def test_exec_cache_roundtrip(tmp_path):
         exe3, status3 = cached_compile(fn3, (x, y), cache_dir=cache_dir)
         assert status3 == "miss", status3
         np.testing.assert_allclose(np.asarray(exe3(x, y)), want * 1.5, rtol=1e-6)
+
+        # semantic-key scheme: a hit must need NO trace/lower at all — that
+        # is the whole point (BENCH_r03: HLO-keyed lookups cost a 514 s
+        # monolith lowering per process through the tunnel)
+        exe4, s4 = cached_compile(fn, (x, y), cache_dir=cache_dir,
+                                  semantic_key="prog-v1|test")
+        assert s4 == "miss", s4
+
+        class NoLower:
+            def lower(self, *a, **k):
+                raise AssertionError("semantic-key hit must not lower")
+
+        exe5, s5 = cached_compile(NoLower(), (x, y), cache_dir=cache_dir,
+                                  semantic_key="prog-v1|test")
+        assert s5 == "hit", s5
+        np.testing.assert_array_equal(np.asarray(exe5(x, y)), want)
+
+        # different semantic key -> different entry (no false hits)
+        exe6, s6 = cached_compile(fn3, (x, y), cache_dir=cache_dir,
+                                  semantic_key="prog-v2|test")
+        assert s6 == "miss", s6
+
+        # args signature is still in the key: same semantic key, new shape
+        x2 = jnp.ones((6, 4), jnp.float32)
+        exe7, s7 = cached_compile(fn, (x2, y), cache_dir=cache_dir,
+                                  semantic_key="prog-v1|test")
+        assert s7 == "miss", s7
+
+        # OBS_RVC_EXEC_CACHE_HLO_KEY forces the lowered-text scheme, which
+        # finds the entry exe1 stored (same fn, same HLO)
+        import os as _os
+        _os.environ["OBS_RVC_EXEC_CACHE_HLO_KEY"] = "1"
+        exe8, s8 = cached_compile(fn, (x, y), cache_dir=cache_dir,
+                                  semantic_key="prog-v1|test")
+        assert s8 == "hit", s8
+        del _os.environ["OBS_RVC_EXEC_CACHE_HLO_KEY"]
         print("exec-cache-ok")
         """
     )
