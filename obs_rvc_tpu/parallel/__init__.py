@@ -14,7 +14,7 @@ The reference has no parallelism beyond one worker thread + one subprocess
   bounded by design (≤ ~2.7 s context; SURVEY §5 "long-context").
 """
 
-from obs_rvc_tpu.parallel.mesh import make_mesh
+from obs_rvc_tpu.parallel.mesh import make_mesh, parse_mesh_spec
 from obs_rvc_tpu.parallel.sharding import (
     shard_params,
     shard_state,
@@ -24,6 +24,7 @@ from obs_rvc_tpu.parallel.sharding import (
 
 __all__ = [
     "make_mesh",
+    "parse_mesh_spec",
     "shard_params",
     "shard_state",
     "shard_controls",

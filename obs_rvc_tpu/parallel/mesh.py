@@ -37,3 +37,29 @@ def make_mesh(
 
     grid = np.asarray(devices[:n]).reshape(n_data, n_model)
     return Mesh(grid, ("data", "model"))
+
+
+def parse_mesh_spec(spec: str) -> Mesh:
+    """Build a mesh from a CLI string like ``"data=4,model=2"``.
+
+    Either axis may be omitted (defaults: ``model=1``; ``data`` fills the
+    remaining devices). ``"data=-1,model=2"`` also means "fill". This is the
+    serving surface's knob (``serve.server --mesh``) for running the stream
+    pool across a slice instead of one chip."""
+    n_data: Optional[int] = None
+    n_model = 1
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise ValueError(f"bad mesh spec part {part!r} (want axis=N)")
+        axis, _, val = part.partition("=")
+        n = int(val)
+        if axis.strip() == "data":
+            n_data = None if n == -1 else n
+        elif axis.strip() == "model":
+            n_model = n
+        else:
+            raise ValueError(f"unknown mesh axis {axis!r} (have: data, model)")
+    return make_mesh(n_data=n_data, n_model=n_model)

@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "hangs intermittently through the axon remote-compile tunnel; "
                    "irrelevant on real TPU hosts, which compile locally)")
     p.add_argument("--metrics-json", action="store_true", help="print metrics JSON to stderr")
+    p.add_argument("--mesh", default="",
+                   help="convert with TP-sharded params over a device mesh, "
+                   "e.g. 'model=2' (offline conversion is one stream, so the "
+                   "data axis must be 1; see serve.server --mesh for DP)")
     return p
 
 
@@ -131,6 +135,14 @@ def main(argv=None) -> None:
         index_rate=args.index_rate,
         sid=args.speaker_id,
     )
+    if args.mesh:
+        from obs_rvc_tpu.parallel import parse_mesh_spec, shard_params
+
+        mesh = parse_mesh_spec(args.mesh)
+        if mesh.shape["data"] != 1:
+            raise SystemExit("offline conversion is one stream — use data=1 "
+                             "(DP lives in serve.server --pool --mesh)")
+        params = shard_params(params, mesh)
 
     t0 = time.perf_counter()
     out = np.asarray(pipe.convert_offline(params, jnp.asarray(mono), controls))

@@ -36,6 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reference-compatible RPC port (0 = off)")
     p.add_argument("--pool", type=int, default=0,
                    help="batch connections through a StreamPool of this capacity (0 = per-connection sessions)")
+    p.add_argument("--mesh", default="",
+                   help="serve across a device mesh, e.g. 'data=4,model=2' "
+                   "(data=-1 fills the remaining devices). With --pool the "
+                   "pool's slot states/chunks ride the data axis and params "
+                   "shard by the TP rules; without --pool the mesh must be "
+                   "data=1 (per-connection sessions get TP-sharded params). "
+                   "BASELINE config 5's N-stream pod-slice knob.")
     p.add_argument("--device-sample-rate", type=int, default=48000)
     # model artifacts + the 13 settings (mirrors serve.cli)
     p.add_argument("--model")
@@ -153,13 +160,28 @@ def main(argv=None) -> None:
 
     pipe, params, controls = build_pipeline(args)
 
+    mesh = None
+    if args.mesh:
+        from obs_rvc_tpu.parallel import parse_mesh_spec, shard_params
+
+        mesh = parse_mesh_spec(args.mesh)
+        print(f"serving on mesh {dict(mesh.shape)}", file=sys.stderr)
+        if not args.pool:
+            if mesh.shape["data"] != 1:
+                raise SystemExit(
+                    "--mesh with data>1 needs --pool (per-connection sessions "
+                    "are unbatched; only the pool rides the data axis)"
+                )
+            params = shard_params(params, mesh)  # TP-only for sessions
+
     pool = None
     metrics = None
     if args.pool:
         pool = StreamPool(pipe, params, capacity=args.pool,
                           batch_min=max(1, args.pool // 4),
                           default_controls=controls,
-                          mode=args.step_mode, exec_cache=args.exec_cache)
+                          mode=args.step_mode, exec_cache=args.exec_cache,
+                          mesh=mesh)
         pool.start()
         metrics = pool.metrics
 

@@ -19,6 +19,19 @@ reference's ``clear_state`` semantics per filter instance). Slot lifecycle
 is made safe against the concurrent worker with a per-slot epoch counter:
 state/output computed from a snapshot older than the slot's current epoch
 is dropped instead of merged.
+
+**Mesh serving** (``mesh=``): pass a ``('data', 'model')``
+:class:`jax.sharding.Mesh` (``obs_rvc_tpu.parallel.make_mesh``) and the pool
+becomes the multi-chip serving surface the reference's single worker thread
+(``obs-rvc/src/lib.rs:797-857``) scales out to — BASELINE config 5's
+"64 streams, data-parallel pod slice". Params are placed by the TP rules
+(``parallel/sharding.py``: ContentVec heads/FFN + retrieval table along
+``model``, rest replicated), and the resident slot states, per-tick chunks,
+and controls are sharded along ``data``; GSPMD inserts the collectives.
+The batched step's inputs are committed sharded arrays, so the same
+staged/fused executables ride the mesh with no pool-logic changes — the
+masked frozen/stale-epoch merge runs as a sharded computation and only the
+per-slot output chunks are gathered to host for the rings.
 """
 
 from __future__ import annotations
@@ -52,9 +65,26 @@ class StreamPool:
         default_controls: Optional[StepControls] = None,
         mode: str = "staged",
         exec_cache: bool = False,
+        mesh=None,
     ):
         if mode not in ("staged", "fused"):
             raise ValueError(f"unknown pool mode {mode!r}")
+        #: optional ('data','model') Mesh — shards params by the TP rules and
+        #: slot state/chunks/controls along 'data' (see module docstring)
+        self.mesh = mesh
+        if mesh is not None:
+            if "data" not in mesh.axis_names or "model" not in mesh.axis_names:
+                raise ValueError(
+                    f"pool mesh needs ('data','model') axes, got {mesh.axis_names}"
+                )
+            n_data = mesh.shape["data"]
+            if capacity % n_data:
+                raise ValueError(
+                    f"capacity {capacity} not divisible by mesh data axis {n_data}"
+                )
+            from obs_rvc_tpu.parallel import shard_params
+
+            params = shard_params(params, mesh)
         self.pipeline = pipeline
         self.params = params
         self.capacity = capacity
@@ -84,7 +114,7 @@ class StreamPool:
         self._out = [make_ring_buffer(self._chunk * output_capacity_chunks) for _ in range(capacity)]
         self._active = [False] * capacity
         self._controls = [self.default_controls for _ in range(capacity)]
-        self._states = StreamState.init_batch(cfg, capacity)
+        self._states = self._place_states(StreamState.init_batch(cfg, capacity))
         # bumped by _clear_slot; the worker drops results computed from a
         # stale epoch (attach/detach racing the batched step)
         self._epoch = [0] * capacity
@@ -94,6 +124,32 @@ class StreamPool:
         self._wake = threading.Event()
         self._running = False
         self._thread: Optional[threading.Thread] = None
+
+    # --- mesh placement (no-ops when mesh is None) ---
+
+    def _place_states(self, states):
+        """Shard a [capacity, ...] state pytree along 'data'. Re-placing an
+        already-sharded tree is a no-op at the transfer layer, so this also
+        pins results of eager merges back to the canonical layout."""
+        if self.mesh is None:
+            return states
+        from obs_rvc_tpu.parallel import shard_state
+
+        return shard_state(states, self.mesh)
+
+    def _place_chunks(self, chunks):
+        if self.mesh is None:
+            return jnp.asarray(chunks)
+        from obs_rvc_tpu.parallel import shard_state
+
+        return shard_state(jnp.asarray(chunks), self.mesh)
+
+    def _place_controls(self, controls):
+        if self.mesh is None:
+            return controls
+        from obs_rvc_tpu.parallel import shard_controls
+
+        return shard_controls(controls, self.mesh)
 
     # --- slot management ---
 
@@ -117,10 +173,12 @@ class StreamPool:
         # caller holds self._lock
         self._epoch[i] += 1
         fresh = StreamState.init(self.pipeline.cfg)
-        self._states = jax.tree.map(
-            lambda batch, single: jnp.asarray(batch).at[i].set(jnp.asarray(single)),
-            self._states,
-            fresh,
+        self._states = self._place_states(
+            jax.tree.map(
+                lambda batch, single: jnp.asarray(batch).at[i].set(jnp.asarray(single)),
+                self._states,
+                fresh,
+            )
         )
         while self._in[i].pop(self._chunk).size:
             pass
@@ -204,13 +262,16 @@ class StreamPool:
             return 0
         self._ready_since = None
 
-        controls = jax.tree.map(lambda *xs: jnp.stack(xs), *controls_snap)
+        controls = self._place_controls(
+            jax.tree.map(lambda *xs: jnp.stack(xs), *controls_snap)
+        )
+        chunks_dev = self._place_chunks(chunks)
         failed = False
         with self.metrics.time_chunk():
             try:
                 if self.mode == "staged":
                     new_states, out = self.pipeline.staged_step(
-                        self.params, states, jnp.asarray(chunks), controls, batched=True
+                        self.params, states, chunks_dev, controls, batched=True
                     )
                 else:
                     if self._fused_step is None:
@@ -224,11 +285,13 @@ class StreamPool:
                             from obs_rvc_tpu.utils.exec_cache import cached_compile
 
                             fn, _ = cached_compile(
-                                fn, (self.params, states, jnp.asarray(chunks), controls)
+                                fn, (self.params, states, chunks_dev, controls),
+                                semantic_key=self.pipeline.fingerprint()
+                                + "|pool_fused",
                             )
                         self._fused_step = fn
                     new_states, out = self._fused_step(
-                        self.params, states, jnp.asarray(chunks), controls
+                        self.params, states, chunks_dev, controls
                     )
                 out = np.asarray(jax.block_until_ready(out))
             except Exception:
@@ -247,12 +310,14 @@ class StreamPool:
                 [have[i] and self._epoch[i] == epochs[i] for i in range(self.capacity)]
             )
             mask = jnp.asarray(fresh_ok)
-            self._states = jax.tree.map(
-                lambda new, cur: jnp.where(
-                    mask.reshape((self.capacity,) + (1,) * (jnp.ndim(cur) - 1)), new, cur
-                ),
-                jax.tree.map(jnp.asarray, new_states),
-                jax.tree.map(jnp.asarray, self._states),
+            self._states = self._place_states(
+                jax.tree.map(
+                    lambda new, cur: jnp.where(
+                        mask.reshape((self.capacity,) + (1,) * (jnp.ndim(cur) - 1)), new, cur
+                    ),
+                    jax.tree.map(jnp.asarray, new_states),
+                    jax.tree.map(jnp.asarray, self._states),
+                )
             )
             for i in range(self.capacity):
                 if fresh_ok[i] and not failed:
