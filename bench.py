@@ -67,6 +67,8 @@ def _build_parser() -> argparse.ArgumentParser:
                         choices=["rmvpe", "crepe", "fcpe"],
                         help="pitch extractor to bench (reference ships rmvpe; "
                         "crepe/fcpe are the upstream-RVC extras)")
+    parser.add_argument("--crepe-capacity", default="full", choices=["full", "tiny"],
+                        help="crepe model size (torchcrepe's two published nets)")
     return parser
 
 
@@ -164,11 +166,17 @@ def main() -> None:
         enable_compilation_cache()
 
     cfg = StreamSettings().chunk_config(48000)
+    crepe_cfg = None
+    if args.pitch_algorithm == "crepe" and args.crepe_capacity != "full":
+        from obs_rvc_tpu.models.crepe import CrepeConfig
+
+        crepe_cfg = CrepeConfig(capacity=args.crepe_capacity)
     pipe = RvcPipeline(
         cfg,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         pallas_resblocks=False if args.no_pallas_resblocks else None,
         pitch_algorithm=args.pitch_algorithm,
+        crepe_cfg=crepe_cfg,
     )
     params = pipe.init_params_fast(0)
     if args.dtype == "bfloat16":
@@ -305,6 +313,8 @@ def main() -> None:
                     "batch": B,
                     "mode": mode,
                     "pitch_algorithm": args.pitch_algorithm,
+                    **({"crepe_capacity": args.crepe_capacity}
+                       if args.pitch_algorithm == "crepe" else {}),
                     "pallas_resblocks": not args.no_pallas_resblocks,
                     "dtype": args.dtype,
                     "chunk_ms": chunk_s * 1000.0,

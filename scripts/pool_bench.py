@@ -1,0 +1,147 @@
+"""Measure the SERVING surface at scale: StreamPool ticks on the TPU
+(VERDICT r3 item 6 — the 377-416 audio-s/s rows are raw jit_step_batch
+numbers; this times the pool path those streams actually ride: ring drain →
+masked merge → ring fill).
+
+Drives `capacity` synthetic streams: every tick feeds all slots one chunk
+and calls ``process_pending`` (the worker loop's body, without the thread).
+Reports p50/p95 tick wall, pool-surface audio-s/s, and — fused mode — the
+raw batched step re-timed with the pool's own executable/arguments, so
+host overhead = tick − step is an apples-to-apples split. Note the axon
+tunnel charges ~29 ms per synchronous device→host pull (the pool's per-tick
+``np.asarray(out)``); the script reports it separately via a no-op
+transfer, since on a real TPU host that term is ~0.
+
+Usage (TPU): python scripts/pool_bench.py --streams 64 --mode fused
+"""
+
+import argparse
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=64)
+    ap.add_argument("--ticks", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--mode", choices=["staged", "fused"], default="fused")
+    ap.add_argument("--no-exec-cache", action="store_true")
+    ap.add_argument("--no-pallas-resblocks", action="store_true")
+    ap.add_argument("--sample-length", type=float, default=0.30,
+                    help="shrink with --extra-inference-time for CPU smokes")
+    ap.add_argument("--extra-inference-time", type=float, default=2.00)
+    ap.add_argument("--skip-inference", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from obs_rvc_tpu.config import StreamSettings
+    from obs_rvc_tpu.models.checkpoints import cast_params_for_serving
+    from obs_rvc_tpu.stream import RvcPipeline, StreamPool
+
+    B = args.streams
+    cfg = StreamSettings(
+        sample_length=args.sample_length,
+        extra_inference_time=args.extra_inference_time,
+        skip_inference=args.skip_inference,
+    ).chunk_config(48000)
+    pipe = RvcPipeline(
+        cfg,
+        compute_dtype=jnp.bfloat16,
+        pallas_resblocks=False if args.no_pallas_resblocks else None,
+    )
+    params = jax.device_put(cast_params_for_serving(pipe.init_params_fast(0)))
+
+    t0 = time.perf_counter()
+    pool = StreamPool(
+        pipe, params, capacity=B, mode=args.mode,
+        exec_cache=not args.no_exec_cache,
+        input_capacity_chunks=4, output_capacity_chunks=4,
+    )
+    slots = [pool.attach() for _ in range(B)]
+    rng = np.random.default_rng(0)
+    chunk = cfg.sample_frame_size
+    frames = (rng.standard_normal((B, chunk)).astype(np.float32) * 0.1)
+
+    def tick():
+        for k, s in enumerate(slots):
+            pool.push_audio(s, frames[k])
+        t = time.perf_counter()
+        n = pool.process_pending()
+        assert n == B, n
+        dt = (time.perf_counter() - t) * 1000.0
+        for s in slots:
+            out = pool.pull_audio(s, chunk)
+            assert out.size == chunk
+        return dt
+
+    for _ in range(args.warmup):
+        tick()
+    print(f"setup+warmup {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+
+    times = [tick() for _ in range(args.ticks)]
+    p50 = statistics.median(times)
+    p95 = sorted(times)[max(0, int(len(times) * 0.95) - 1)]
+    chunk_s = chunk / cfg.sample_rate
+    pool_audio_sps = B * chunk_s / (p50 / 1000.0)
+
+    # tunnel sync tax: a minimal device->host pull (~29 ms on axon, ~0 real)
+    x = jax.device_put(np.zeros((8,), np.float32))
+    rtts = []
+    for _ in range(10):
+        t = time.perf_counter()
+        _ = np.asarray(x)
+        rtts.append((time.perf_counter() - t) * 1000.0)
+    rtt = statistics.median(rtts)
+
+    step_ms = None
+    if args.mode == "fused" and pool._fused_step is not None:
+        # re-time the pool's own executable with its resident args: the
+        # device cost of a tick, measured the way bench.py measures steps
+        states = pool._states
+        chunks_dev = pool._place_chunks(frames)
+        import jax as _jax
+
+        controls = _jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[pool._controls[s] for s in slots]
+        )
+        sts = []
+        for _ in range(max(args.ticks // 2, 5)):
+            t = time.perf_counter()
+            new_states, out = pool._fused_step(params, states, chunks_dev, controls)
+            _ = np.asarray(out)
+            sts.append((time.perf_counter() - t) * 1000.0)
+        step_ms = statistics.median(sts)
+
+    result = {
+        "metric": "pool_tick_p50_ms",
+        "value": round(p50, 2),
+        "unit": "ms",
+        "extra": {
+            "streams": B,
+            "mode": args.mode,
+            "p95_ms": round(p95, 2),
+            "pool_audio_seconds_per_second": round(pool_audio_sps, 1),
+            "per_chunk_ms": round(p50 / B, 3),
+            "sync_rtt_ms": round(rtt, 1),
+            **({"raw_step_ms": round(step_ms, 2),
+                "host_overhead_ms": round(p50 - step_ms, 2),
+                "host_overhead_pct": round((p50 - step_ms) / p50 * 100.0, 1)}
+               if step_ms else {}),
+        },
+    }
+    import json
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
