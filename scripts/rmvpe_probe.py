@@ -6,14 +6,18 @@ Times, via the slope harness (fixed costs cancelled):
   bottleneck MXU lane waste (C=16 << 128), layout padding traffic, or
   sequential scheduling?
 
-Env: NET_BATCH (default 1).
+Env: NET_BATCH (default 1); SECTIONS=submodules skips the layout
+experiments (round-4 per-piece accounting of the 3.11 ms: intermediates,
+pools/concats, cnn+fc head, mel — the pieces the per-level U-Net table
+doesn't cover).
 Usage (TPU): python scripts/rmvpe_probe.py
 """
 
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -40,20 +44,62 @@ def main():
     cfg = RMVPEConfig(dtype=jnp.bfloat16)
 
     # --- real submodules --------------------------------------------------
-    mel = jnp.asarray(rng.standard_normal((B, 128, T)).astype(np.float32))
-    net = RMVPE(cfg)
-    params = net.init(jax.random.PRNGKey(0), mel)
-    slope_bench("rmvpe_full", lambda p, m: net.apply(p, m), mel, params=params)
+    # (SECTIONS=pieces skips the full-net/U-Net compiles — the monolith
+    # compile through the remote service is hang-prone and the numbers are
+    # already recorded; the pieces compile reliably in seconds)
+    if os.environ.get("SECTIONS") != "pieces":
+        mel = jnp.asarray(rng.standard_normal((B, 128, T)).astype(np.float32))
+        net = RMVPE(cfg)
+        params = net.init(jax.random.PRNGKey(0), mel)
+        slope_bench("rmvpe_full", lambda p, m: net.apply(p, m), mel, params=params)
 
-    unet = DeepUnet(cfg)
-    xin = jnp.swapaxes(mel, 1, 2)[..., None]
-    uparams = unet.init(jax.random.PRNGKey(1), xin)
-    slope_bench("unet_only", lambda p, m: unet.apply(p, m), xin, params=uparams)
+        unet = DeepUnet(cfg)
+        xin = jnp.swapaxes(mel, 1, 2)[..., None]
+        uparams = unet.init(jax.random.PRNGKey(1), xin)
+        slope_bench("unet_only", lambda p, m: unet.apply(p, m), xin, params=uparams)
 
     gru = BiGRU(cfg.gru_hidden, 1, dtype=cfg.dtype)
     gin = jnp.asarray(rng.standard_normal((B, T, 384)).astype(np.float32))
     gparams = gru.init(jax.random.PRNGKey(2), gin)
     slope_bench("bigru_only", lambda p, g: gru.apply(p, g), gin, params=gparams)
+
+    # --- the pieces the per-level table doesn't cover ---------------------
+    # intermediates: 4 x ResEncoderBlock(512, pool=False) at the bottleneck
+    # geometry [B, T/32, W/32, 256] — the single largest FLOPs block left on
+    # XLA (32 convs of 3x3x512 on 2x4 maps at B=32)
+    import flax.linen as nn
+
+    from obs_rvc_tpu.models.rmvpe import ResEncoderBlock
+
+    class Inters(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            for i in range(cfg.inter_layers):
+                x = ResEncoderBlock(512, cfg.n_blocks, pool=False,
+                                    dtype=cfg.dtype, name=f"intermediate_{i}")(x)
+            return x
+
+    iin = jnp.asarray(rng.standard_normal((B, T // 32, 4, 256)).astype(np.float32))
+    inters = Inters()
+    ipar = inters.init(jax.random.PRNGKey(3), iin)
+    slope_bench("intermediates_only", lambda p, m: inters.apply(p, m), iin, params=ipar)
+
+    # cnn + flatten + fc head (post-U-Net, pre-GRU glue)
+    class Head(nn.Module):
+        @nn.compact
+        def __call__(self, x):  # [B, T, 128, 16]
+            x = nn.Conv(3, (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype,
+                        name="cnn")(x)
+            x = jnp.swapaxes(x, 2, 3).reshape(x.shape[0], x.shape[1], 3 * 128)
+            return x
+
+    hin = jnp.asarray(rng.standard_normal((B, T, W, 16)).astype(np.float32))
+    head = Head()
+    hpar = head.init(jax.random.PRNGKey(4), hin)
+    slope_bench("cnn_head_only", lambda p, m: head.apply(p, m), hin, params=hpar)
+
+    if os.environ.get("SECTIONS") in ("submodules", "pieces"):
+        return
 
     # --- layout experiments at level-0 geometry ---------------------------
     C = 16
