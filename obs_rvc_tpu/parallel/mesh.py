@@ -39,14 +39,17 @@ def make_mesh(
     return Mesh(grid, ("data", "model"))
 
 
-def parse_mesh_spec(spec: str) -> Mesh:
+def parse_mesh_spec(spec: str, default_data: Optional[int] = None) -> Mesh:
     """Build a mesh from a CLI string like ``"data=4,model=2"``.
 
-    Either axis may be omitted (defaults: ``model=1``; ``data`` fills the
-    remaining devices). ``"data=-1,model=2"`` also means "fill". This is the
-    serving surface's knob (``serve.server --mesh``) for running the stream
-    pool across a slice instead of one chip."""
-    n_data: Optional[int] = None
+    Either axis may be omitted (defaults: ``model=1``; ``data`` falls back to
+    ``default_data`` — ``None`` fills the remaining devices). ``"data=-1"``
+    also means "fill". This is the serving surface's knob
+    (``serve.server --mesh``) for running the stream pool across a slice
+    instead of one chip; single-stream surfaces (``serve.cli``) pass
+    ``default_data=1`` so ``--mesh model=2`` means TP-only there rather than
+    "fill data with whatever devices remain"."""
+    n_data: Optional[int] = default_data
     n_model = 1
     for part in spec.split(","):
         part = part.strip()

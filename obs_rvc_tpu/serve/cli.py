@@ -138,7 +138,9 @@ def main(argv=None) -> None:
     if args.mesh:
         from obs_rvc_tpu.parallel import parse_mesh_spec, shard_params
 
-        mesh = parse_mesh_spec(args.mesh)
+        # default_data=1: offline conversion is one stream, so "--mesh
+        # model=2" must mean TP-only, not "fill data with remaining devices"
+        mesh = parse_mesh_spec(args.mesh, default_data=1)
         if mesh.shape["data"] != 1:
             raise SystemExit("offline conversion is one stream — use data=1 "
                              "(DP lives in serve.server --pool --mesh)")

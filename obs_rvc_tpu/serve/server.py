@@ -166,13 +166,15 @@ def main(argv=None) -> None:
 
         mesh = parse_mesh_spec(args.mesh)
         print(f"serving on mesh {dict(mesh.shape)}", file=sys.stderr)
-        if not args.pool:
-            if mesh.shape["data"] != 1:
-                raise SystemExit(
-                    "--mesh with data>1 needs --pool (per-connection sessions "
-                    "are unbatched; only the pool rides the data axis)"
-                )
-            params = shard_params(params, mesh)  # TP-only for sessions
+        if not args.pool and mesh.shape["data"] != 1:
+            raise SystemExit(
+                "--mesh with data>1 needs --pool (per-connection sessions "
+                "are unbatched; only the pool rides the data axis)"
+            )
+        # shard ONCE at the top so every front door (pool, per-connection
+        # sessions, the --rpc-port engine) sees the TP placement; the pool's
+        # own shard_params call is a re-place no-op on committed arrays
+        params = shard_params(params, mesh)
 
     pool = None
     metrics = None

@@ -42,7 +42,9 @@ class RvcEngine:
         self.pipeline = pipeline
         self.params = params
         self.cache_pitchf = np.zeros(pipeline.cfg.pitch_cache_len, dtype=np.float32)
-        #: geometry key -> jitted (params, cache, buf16, controls) -> (audio, cache)
+        #: geometry key -> [callable, pipeline fingerprint]; the callable is
+        #: the jitted (params, cache, buf16, controls) -> (audio, cache), or
+        #: the exec-cache compiled executable once infer() swaps it in
         self._infer_cache: dict = {}
         self.max_geometries = max_geometries
         #: persist per-geometry compiled executables across engine restarts
@@ -99,9 +101,9 @@ class RvcEngine:
         )
 
     def _jit_infer_for(self, key):
-        fn = self._infer_cache.get(key)
-        if fn is not None:
-            return fn
+        entry = self._infer_cache.get(key)
+        if entry is not None:
+            return entry
         try:
             pipe = self._pipeline_for(key)
         except (ValueError, AssertionError) as e:
@@ -116,13 +118,15 @@ class RvcEngine:
             )
             return pipe._infer(params, state, buf16, controls, None)
 
-        fn = jax.jit(run)
         if len(self._infer_cache) >= self.max_geometries:
             # bounded: drop the oldest compiled geometry (dict is insertion-
             # ordered); legacy clients use one or two geometries in practice
             self._infer_cache.pop(next(iter(self._infer_cache)))
-        self._infer_cache[key] = fn
-        return fn
+        # fingerprint stored alongside: infer()'s exec-cache path needs it,
+        # and rebuilding a whole RvcPipeline just to read it is wasted work
+        entry = [jax.jit(run), pipe.fingerprint()]
+        self._infer_cache[key] = entry
+        return entry
 
     # --- the RPC-visible call (rvc.rs:133-220) ---
 
@@ -153,15 +157,15 @@ class RvcEngine:
         )
 
         fresh = key not in self._infer_cache
-        fn = self._jit_infer_for(key)
+        entry = self._jit_infer_for(key)
+        fn = entry[0]
         if fresh and self.exec_cache:
             from obs_rvc_tpu.utils.exec_cache import cached_compile
 
             fn, _ = cached_compile(
-                fn, args,
-                semantic_key=self._pipeline_for(key).fingerprint() + "|engine_infer",
+                fn, args, semantic_key=entry[1] + "|engine_infer",
             )
-            self._infer_cache[key] = fn
+            entry[0] = fn
 
         audio, new_cache = fn(*args)
         self.cache_pitchf = np.asarray(new_cache)

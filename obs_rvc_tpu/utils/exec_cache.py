@@ -68,10 +68,13 @@ KEY_VERSION = "3"
 
 #: modules whose source defines traced computation — any edit here can
 #: change a compiled program, so their bytes are part of every semantic
-#: cache key. Host-only modules (serve/, stream/pool|scheduler|engine|
-#: ringbuf, utils/) are deliberately excluded: editing the server must not
-#: invalidate a multi-minute TPU compile. A NEW module that adds traced
-#: code must be covered by one of these globs.
+#: cache key. Purely host-side modules (serve/, stream/ringbuf, utils/) are
+#: deliberately excluded: editing the server must not invalidate a
+#: multi-minute TPU compile. stream/engine|pool|scheduler ARE included —
+#: they build jitted wrappers (engine's ``run`` closure, the pool's vmapped
+#: step, the scheduler's staged wrappers), so an edit there can change the
+#: traced program even though most of their code is host-side. A NEW module
+#: that adds traced code must be covered by one of these globs.
 _TRACED_GLOBS = (
     "config.py",
     "dsp/*.py",
@@ -81,6 +84,9 @@ _TRACED_GLOBS = (
     "parallel/*.py",
     "stream/pipeline.py",
     "stream/state.py",
+    "stream/engine.py",
+    "stream/pool.py",
+    "stream/scheduler.py",
 )
 
 
@@ -195,9 +201,9 @@ def cached_compile(
     pinned = _pin_unsharded(example_args)
     env = _env_key_parts(pinned)
 
-    use_semantic = semantic_key is not None and not os.environ.get(
-        "OBS_RVC_EXEC_CACHE_HLO_KEY"
-    )
+    use_semantic = semantic_key is not None and os.environ.get(
+        "OBS_RVC_EXEC_CACHE_HLO_KEY", ""
+    ).strip().lower() in ("", "0", "false", "no")
     if use_semantic:
         key = _digest(
             [KEY_VERSION, "semantic", semantic_key, traced_source_fingerprint()]

@@ -384,3 +384,90 @@ def test_ivf_recall_floor_on_nonseparable_features():
 
     assert recall >= 0.95, recall
     assert recall >= nprobe1, (recall, nprobe1)
+
+
+@pytest.mark.slow
+def test_ivf_recall_floor_production_geometry():
+    """The floor above, at the PRODUCTION geometry (VERDICT r3 item 3):
+    300k×768 rows, the RVC nlist rule (7692 lists), probes=64, lcap=64 —
+    i.e. the serving config of BENCHMARKS.md minus table size (1M runs
+    on-chip via scripts/ivf_recall.py; 300k is the largest geometry this
+    4-core CPU suite can afford, ~2.5 min). Same non-separable heavy-tailed
+    mixture + correlated-walk chunk as the quick floor test; asserts
+    recall@8 >= 0.95 and >= faiss nprobe=1 on the same queries.
+
+    Calibration (scripts/ivf_recall.py on-chip + the CPU prototype run,
+    round 4): recall@8 = 1.0 at this geometry, faiss nprobe=1 = 0.14."""
+    from obs_rvc_tpu.retrieval.build import train_ivf, default_nlist
+    from obs_rvc_tpu.retrieval.faiss_reader import IvfFlatIndex
+    from obs_rvc_tpu.retrieval.index import ivf_search
+
+    n, dim, k, frames, nclust = 300_000, 768, 8, 64, 1024
+    key = jax.random.PRNGKey(31)
+    kc, kw, kz, kg, kb, kbz, kbg, kq = jax.random.split(key, 8)
+
+    # heavy-tailed mixture in jax (numpy standard_t at 300k×768 costs ~60 s
+    # on this box; XLA's threaded RNG does it in ~5): t(df) = z / sqrt(g/df),
+    # g ~ chi2(df) = gamma(df/2, scale=2)
+    def student_t(kz_, kg_, shape, df=4.0):
+        z = jax.random.normal(kz_, shape, jnp.float32)
+        g = 2.0 * jax.random.gamma(kg_, df / 2.0, shape=(shape[0], 1))
+        return z * jax.lax.rsqrt(g / df)
+
+    centers = jax.random.normal(kc, (nclust, dim), jnp.float32)
+    which = jax.random.randint(kw, (n,), 0, nclust)
+    pts = centers[which] + 0.7 * student_t(kz, kg, (n, dim))
+    bg_mask = jax.random.uniform(kb, (n, 1)) < 0.1
+    pts = jnp.where(bg_mask, 1.5 * student_t(kbz, kbg, (n, dim)), pts)
+    pts = np.asarray(pts)
+
+    nlist = default_nlist(n)
+    assert nlist == 7692  # the rule the 1M serving config (16000) comes from
+    rng = np.random.default_rng(31)
+    sub = pts[rng.choice(n, 20_000, replace=False)]
+    cent, _ = train_ivf(sub, nlist=nlist, iters=2, seed=1)
+
+    cj = jnp.asarray(cent)
+
+    @jax.jit
+    def assign_block(xb):
+        d = jnp.sum(cj * cj, axis=1)[None, :] - 2.0 * xb @ cj.T
+        return jnp.argmin(d, axis=1)
+
+    assign = np.concatenate([
+        np.asarray(assign_block(jnp.asarray(pts[s:s + 65536])))
+        for s in range(0, n, 65536)
+    ]).astype(np.int64)
+
+    idx = RetrievalIndex(mode="ivf", k=k)
+    p = idx.make_ivf_params(IvfFlatIndex(pts, cent, assign))
+
+    start = pts[rng.integers(0, n)]
+    q = start[None, :] + np.cumsum(
+        0.1 * rng.standard_normal((frames, dim)).astype(np.float32), axis=0)
+
+    vt = jnp.asarray(p["vectors"][:n])
+    vn = jnp.asarray(p["norms"][:n])
+    truth = np.asarray(jax.lax.top_k(
+        2.0 * jnp.asarray(q) @ vt.T - vn[None, :], k)[1])
+
+    _, _, rows = ivf_search(
+        jnp.asarray(p["vectors"]), jnp.asarray(p["norms"]),
+        jnp.asarray(p["lengths"]), jnp.asarray(p["offsets"]),
+        jnp.asarray(p["centroids"]), jnp.asarray(p["cnorms"]),
+        jnp.asarray(q), k=k, probes=64, lcap=idx.lcap, nprobe=1)
+    rows = np.asarray(rows)
+    recall = np.mean([
+        len(set(r.tolist()) & set(t.tolist())) / k for r, t in zip(rows, truth)
+    ])
+
+    cd = np.sum(cent * cent, 1)[None, :] - 2.0 * q @ cent.T
+    own = np.argmin(cd, axis=1)
+    hits = 0
+    for qi in range(frames):
+        lo = int(p["offsets"][own[qi]]); hi = lo + int(p["lengths"][own[qi]])
+        hits += len(set(range(lo, hi)) & set(truth[qi].tolist()))
+    nprobe1 = hits / (frames * k)
+
+    assert recall >= 0.95, recall
+    assert recall >= nprobe1, (recall, nprobe1)
