@@ -30,8 +30,19 @@ becomes the multi-chip serving surface the reference's single worker thread
 and controls are sharded along ``data``; GSPMD inserts the collectives.
 The batched step's inputs are committed sharded arrays, so the same
 staged/fused executables ride the mesh with no pool-logic changes — the
-masked frozen/stale-epoch merge runs as a sharded computation and only the
+masked frozen-slot merge runs as a sharded computation and only the
 per-slot output chunks are gathered to host for the rings.
+
+**Tick dispatch discipline** (round 4): a tick issues a fixed, tiny number
+of device round-trips — one batched-step dispatch (the frozen-slot merge is
+*inside* the executable, keyed on a traced ``mask`` argument), one block,
+one device→host output pull. The first pool_bench cut paid 4 eager
+``jnp.where`` + 4 eager ``jnp.stack`` dispatches per tick on top of that —
+217.8 ms of host overhead at B=64 through the ~29 ms-RTT axon tunnel
+(BENCHMARKS.md "Serving surface"). Controls are therefore cached
+device-resident until ``update_controls``/``attach`` actually changes one,
+and the rare stale-epoch fixup (attach/detach racing the step) happens
+eagerly only when an epoch actually moved.
 """
 
 from __future__ import annotations
@@ -109,6 +120,18 @@ class StreamPool:
         self._ready_since: Optional[float] = None
         cfg = pipeline.cfg
         self._chunk = cfg.sample_frame_size
+        #: staged-mode masked merge as ONE jitted call (fused mode folds the
+        #: merge into the step executable itself)
+        self._merge_fn = None
+        #: device-resident stacked controls, rebuilt only when
+        #: _controls_version moves (update_controls/attach) — restacking 4
+        #: scalars per tick cost 4 eager dispatches through the tunnel
+        self._controls_version = 0
+        self._controls_dev = None
+        self._controls_dev_ver = -1
+        #: per-phase wall times of the last tick (ms) — drain/controls/
+        #: dispatch/d2h/merge; read by scripts/pool_bench.py
+        self.last_tick_phases: dict = {}
 
         self._in = [make_ring_buffer(self._chunk * input_capacity_chunks) for _ in range(capacity)]
         self._out = [make_ring_buffer(self._chunk * output_capacity_chunks) for _ in range(capacity)]
@@ -139,10 +162,22 @@ class StreamPool:
 
     def _place_chunks(self, chunks):
         if self.mesh is None:
-            return jnp.asarray(chunks)
+            # numpy passes straight into the jitted call — the transfer rides
+            # the dispatch instead of costing a separate eager round-trip
+            return np.asarray(chunks, np.float32)
         from obs_rvc_tpu.parallel import shard_state
 
         return shard_state(jnp.asarray(chunks), self.mesh)
+
+    def _place_mask(self, mask):
+        """[capacity] bool fed-slot mask for the in-step merge. Sharded along
+        'data' with the states on a mesh; plain numpy otherwise (a jit/
+        Compiled argument, transferred as part of the dispatch)."""
+        if self.mesh is None:
+            return np.asarray(mask, bool)
+        from obs_rvc_tpu.parallel import shard_state
+
+        return shard_state(jnp.asarray(mask), self.mesh)
 
     def _place_controls(self, controls):
         if self.mesh is None:
@@ -160,6 +195,7 @@ class StreamPool:
                 if not self._active[i]:
                     self._active[i] = True
                     self._controls[i] = controls or self.default_controls
+                    self._controls_version += 1
                     self._clear_slot(i)
                     return i
         raise RuntimeError("pool full")
@@ -190,7 +226,9 @@ class StreamPool:
             k: jnp.asarray(v, dtype=getattr(self._controls[slot], k).dtype)
             for k, v in kwargs.items()
         }
-        self._controls[slot] = self._controls[slot].replace(**updates)
+        with self._lock:
+            self._controls[slot] = self._controls[slot].replace(**updates)
+            self._controls_version += 1
 
     # --- audio sides ---
 
@@ -236,18 +274,54 @@ class StreamPool:
             return True
         return (now - self._ready_since) * 1000.0 >= self.batch_deadline_ms
 
+    def _masked_merge_fn(self):
+        """Jitted ``(mask, new, cur) -> where(mask, new, cur)`` over a state
+        pytree — ONE dispatch for the staged path's frozen-slot merge."""
+        if self._merge_fn is None:
+            def merge(mask, new, cur):
+                return jax.tree.map(
+                    lambda n, c: jnp.where(
+                        mask.reshape((-1,) + (1,) * (jnp.ndim(n) - 1)), n, c
+                    ),
+                    new, cur,
+                )
+
+            self._merge_fn = jax.jit(merge)
+        return self._merge_fn
+
+    def _controls_device(self, controls_snap, version: int):
+        """Stacked [capacity]-leaf controls, cached on device until a control
+        changes (restacking eagerly cost 4 dispatches per tick)."""
+        if self._controls_dev is None or self._controls_dev_ver != version:
+            self._controls_dev = self._place_controls(
+                jax.tree.map(lambda *xs: jnp.stack(xs), *controls_snap)
+            )
+            self._controls_dev_ver = version
+        return self._controls_dev
+
     def process_pending(self) -> int:
         """One batched step when at least one active slot has a full chunk.
 
         Slots without a full input chunk ride the step with silence but are
-        *frozen*: their post-step state and output are discarded (masked
-        merge below), so a starved stream resumes with its context intact
-        (the reference accumulates and waits, ``lib.rs:811-828``)."""
+        *frozen*: their post-step state and output are discarded — the
+        ``where(mask, new, cur)`` merge runs INSIDE the batched executable —
+        so a starved stream resumes with its context intact (the reference
+        accumulates and waits, ``lib.rs:811-828``). Slots re-attached/cleared
+        while the step computed (epoch moved) get their fresh state restored
+        afterwards; that fixup is eager but only runs when a race actually
+        happened."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         with self._lock:
             active = list(self._active)
             controls_snap = list(self._controls)
+            cver = self._controls_version
             epochs = list(self._epoch)
             states = self._states
+
+        controls = self._controls_device(controls_snap, cver)
+        t_controls = _time.perf_counter()
 
         chunks = np.zeros((self.capacity, self._chunk), np.float32)
         have = np.zeros(self.capacity, bool)
@@ -262,10 +336,9 @@ class StreamPool:
             return 0
         self._ready_since = None
 
-        controls = self._place_controls(
-            jax.tree.map(lambda *xs: jnp.stack(xs), *controls_snap)
-        )
         chunks_dev = self._place_chunks(chunks)
+        mask_dev = self._place_mask(have)
+        t_drain = _time.perf_counter()
         failed = False
         with self.metrics.time_chunk():
             try:
@@ -273,58 +346,96 @@ class StreamPool:
                     new_states, out = self.pipeline.staged_step(
                         self.params, states, chunks_dev, controls, batched=True
                     )
+                    merged = self._masked_merge_fn()(mask_dev, new_states, states)
                 else:
                     if self._fused_step is None:
-                        # NO donation (unlike pipeline.jit_step_batch): the
-                        # pre-step states are still needed for the masked
-                        # frozen/stale-epoch merge below
-                        fn = jax.jit(
-                            jax.vmap(self.pipeline.step, in_axes=(None, 0, 0, 0))
-                        )
+                        cap = self.capacity
+
+                        # NO donation of `states`: attach/_clear_slot may read
+                        # self._states concurrently while this call still
+                        # points at the pre-step buffers
+                        def step_and_merge(params, states, chunks, controls, mask):
+                            new_states, out = jax.vmap(
+                                self.pipeline.step, in_axes=(None, 0, 0, 0)
+                            )(params, states, chunks, controls)
+                            merged = jax.tree.map(
+                                lambda n, c: jnp.where(
+                                    mask.reshape((cap,) + (1,) * (jnp.ndim(n) - 1)),
+                                    n, c,
+                                ),
+                                new_states, states,
+                            )
+                            return merged, out
+
+                        fn = jax.jit(step_and_merge)
                         if self.exec_cache:
                             from obs_rvc_tpu.utils.exec_cache import cached_compile
 
                             fn, _ = cached_compile(
-                                fn, (self.params, states, chunks_dev, controls),
+                                fn,
+                                (self.params, states, chunks_dev, controls, mask_dev),
                                 semantic_key=self.pipeline.fingerprint()
-                                + "|pool_fused",
+                                + "|pool_fused_merge",
                             )
                         self._fused_step = fn
-                    new_states, out = self._fused_step(
-                        self.params, states, chunks_dev, controls
+                    merged, out = self._fused_step(
+                        self.params, states, chunks_dev, controls, mask_dev
                     )
-                out = np.asarray(jax.block_until_ready(out))
+                out = jax.block_until_ready(out)
+                t_step = _time.perf_counter()
+                out = np.asarray(out)
+                t_d2h = _time.perf_counter()
             except Exception:
                 logger.exception(
                     "batched step failed; emitting silence for fed slots and resetting"
                 )
                 self.metrics.record_error()
                 failed = True
+                t_step = t_d2h = _time.perf_counter()
                 out = np.zeros((self.capacity, self._chunk), np.float32)
-                new_states = StreamState.init_batch(self.pipeline.cfg, self.capacity)
+                # fed slots reset to fresh state, frozen slots keep context
+                # (eager per-leaf merge is fine on this rare path)
+                fresh_batch = StreamState.init_batch(self.pipeline.cfg, self.capacity)
+                m = jnp.asarray(have)
+                merged = jax.tree.map(
+                    lambda n, c: jnp.where(
+                        m.reshape((self.capacity,) + (1,) * (jnp.ndim(n) - 1)),
+                        jnp.asarray(n), jnp.asarray(c),
+                    ),
+                    fresh_batch, states,
+                )
 
         with self._lock:
-            # merge states only for slots that (a) consumed real input this
+            # output goes only to slots that (a) consumed real input this
             # tick and (b) were not re-attached/cleared while we computed
             fresh_ok = np.array(
                 [have[i] and self._epoch[i] == epochs[i] for i in range(self.capacity)]
             )
-            mask = jnp.asarray(fresh_ok)
-            self._states = self._place_states(
-                jax.tree.map(
-                    lambda new, cur: jnp.where(
-                        mask.reshape((self.capacity,) + (1,) * (jnp.ndim(cur) - 1)), new, cur
-                    ),
-                    jax.tree.map(jnp.asarray, new_states),
-                    jax.tree.map(jnp.asarray, self._states),
-                )
-            )
+            stale = [i for i in range(self.capacity) if self._epoch[i] != epochs[i]]
+            if stale:
+                # attach/detach raced the step: restore those slots' cleared
+                # state (the merged tree was computed from the old snapshot)
+                fresh = StreamState.init(self.pipeline.cfg)
+                for i in stale:
+                    merged = jax.tree.map(
+                        lambda b, s: jnp.asarray(b).at[i].set(jnp.asarray(s)),
+                        merged, fresh,
+                    )
+            self._states = self._place_states(merged)
             for i in range(self.capacity):
                 if fresh_ok[i] and not failed:
                     self._out[i].push(out[i])
                 elif fresh_ok[i]:
                     # failed step: keep audio flowing with silence
                     self._out[i].push(np.zeros(self._chunk, np.float32))
+        t_end = _time.perf_counter()
+        self.last_tick_phases = {
+            "controls_ms": (t_controls - t0) * 1e3,
+            "drain_ms": (t_drain - t_controls) * 1e3,
+            "dispatch_ms": (t_step - t_drain) * 1e3,
+            "d2h_ms": (t_d2h - t_step) * 1e3,
+            "merge_ms": (t_end - t_d2h) * 1e3,
+        }
         return int(have.sum())
 
     def _loop(self) -> None:

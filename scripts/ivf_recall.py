@@ -80,28 +80,54 @@ def main() -> None:
     ap.add_argument("--train-cap", type=int, default=200_000,
                     help="k-means training subsample (faiss-style)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--prep-cache", default="",
+                    help="directory for table/centroid/assignment .npz "
+                    "checkpoints — a retry after a remote-compile-service "
+                    "death (its known failure mode) skips the ~30 min of "
+                    "prep and re-pays only the searches")
     args = ap.parse_args()
 
     for n in args.sizes:
         rng = np.random.default_rng(args.seed)
-        table = make_table(n, args.dim, rng)
-        nlist = default_nlist(n)
-        sub = table[rng.choice(n, min(n, args.train_cap), replace=False)]
-        t0 = time.time()
-        cent, _ = train_ivf(sub, nlist=nlist, iters=args.kmeans_iters, seed=args.seed)
-        # assign the full table against the trained centroids
-        cj = jnp.asarray(cent)
-        assign = np.zeros(n, np.int32)
-        bs = 65536
+        cache = None
+        if args.prep_cache:
+            import pathlib
 
-        @jax.jit
-        def assign_block(xb):
-            d = jnp.sum(cj * cj, axis=1)[None, :] - 2.0 * xb @ cj.T
-            return jnp.argmin(d, axis=1)
+            cache = (pathlib.Path(args.prep_cache)
+                     / f"ivfprep_n{n}_d{args.dim}_s{args.seed}.npz")
+        if cache is not None and cache.exists():
+            z = np.load(cache)
+            table, cent, assign = z["table"], z["cent"], z["assign"]
+            qchunks, rand_q = z["qchunks"], z["rand_q"]
+            nlist, t_train = int(z["nlist"]), float(z["t_train"])
+            print(f"prep cache hit: {cache}", file=sys.stderr, flush=True)
+        else:
+            table = make_table(n, args.dim, rng)
+            nlist = default_nlist(n)
+            sub = table[rng.choice(n, min(n, args.train_cap), replace=False)]
+            t0 = time.time()
+            cent, _ = train_ivf(sub, nlist=nlist, iters=args.kmeans_iters, seed=args.seed)
+            # assign the full table against the trained centroids
+            cj = jnp.asarray(cent)
+            assign = np.zeros(n, np.int32)
+            bs = 65536
 
-        for s in range(0, n, bs):
-            assign[s : s + bs] = np.asarray(assign_block(jnp.asarray(table[s : s + bs])))
-        t_train = time.time() - t0
+            @jax.jit
+            def assign_block(xb):
+                d = jnp.sum(cj * cj, axis=1)[None, :] - 2.0 * xb @ cj.T
+                return jnp.argmin(d, axis=1)
+
+            for s in range(0, n, bs):
+                assign[s : s + bs] = np.asarray(assign_block(jnp.asarray(table[s : s + bs])))
+            t_train = time.time() - t0
+            qchunks = make_queries(table, rng, args.chunks, args.frames)
+            rand_q = make_table(args.frames, args.dim, rng)[None]
+            if cache is not None:
+                cache.parent.mkdir(parents=True, exist_ok=True)
+                np.savez(cache, table=table, cent=cent, assign=assign,
+                         qchunks=qchunks, rand_q=rand_q,
+                         nlist=nlist, t_train=t_train)
+                print(f"prep cached: {cache}", file=sys.stderr, flush=True)
 
         idx = RetrievalIndex(mode="ivf", k=args.k)
         params = idx.make_ivf_params(IvfFlatIndex(table, cent, assign))
@@ -109,15 +135,11 @@ def main() -> None:
         vt = jnp.asarray(params["vectors"][:n])
         vn = jnp.asarray(params["norms"][:n])
 
-        qchunks = make_queries(table, rng, args.chunks, args.frames)
-        rand_q = make_table(args.frames, args.dim, rng)[None]  # adversarial chunk
-
         # faiss nprobe=1 recall on the same queries (per-query own-top-1
         # list only) — the baseline our chunk-union guarantee is against
-        def nprobe1_recall(chunks):
+        def nprobe1_recall(chunks, truths):
             hits = tot = 0
-            for ch in chunks:
-                truth = exact_topk_rows(vt, vn, ch, args.k)
+            for ch, truth in zip(chunks, truths):
                 cdist = (np.sum(cent * cent, 1)[None, :]
                          - 2.0 * ch @ cent.T)
                 own = np.argmin(cdist, axis=1)
@@ -130,13 +152,15 @@ def main() -> None:
             return hits / tot
 
         for label, chunks in (("correlated", qchunks), ("random", rand_q)):
-            base = nprobe1_recall(chunks)
+            # exact ground truth ONCE per chunk (shared across probe settings)
+            truths = [exact_topk_rows(vt, vn, ch, args.k) for ch in chunks]
+            base = nprobe1_recall(chunks, truths)
             for probes in (64, 120, 256):
                 if probes > nlist:
                     continue
                 hits = tot = 0
                 t_s = time.time()
-                for ch in chunks:
+                for ch, truth in zip(chunks, truths):
                     q = jnp.asarray(ch)
                     _, _, rows = jax.block_until_ready(ivf_search(
                         jnp.asarray(params["vectors"]), jnp.asarray(params["norms"]),
@@ -144,7 +168,6 @@ def main() -> None:
                         jnp.asarray(params["centroids"]), jnp.asarray(params["cnorms"]),
                         q, k=args.k, probes=probes, lcap=idx.lcap, nprobe=1,
                     ))
-                    truth = exact_topk_rows(vt, vn, ch, args.k)
                     rows = np.asarray(rows)
                     for r, t in zip(rows, truth):
                         hits += len(set(r.tolist()) & set(t.tolist()))
@@ -156,7 +179,7 @@ def main() -> None:
                     "faiss_nprobe1_recall": round(base, 4),
                     "kmeans_s": round(t_train, 1),
                     "search_wall_s": round(time.time() - t_s, 2),
-                }))
+                }), flush=True)
 
 
 if __name__ == "__main__":

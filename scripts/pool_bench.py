@@ -71,6 +71,8 @@ def main():
     chunk = cfg.sample_frame_size
     frames = (rng.standard_normal((B, chunk)).astype(np.float32) * 0.1)
 
+    phase_log: list[dict] = []
+
     def tick():
         for k, s in enumerate(slots):
             pool.push_audio(s, frames[k])
@@ -78,6 +80,7 @@ def main():
         n = pool.process_pending()
         assert n == B, n
         dt = (time.perf_counter() - t) * 1000.0
+        phase_log.append(dict(pool.last_tick_phases))
         for s in slots:
             out = pool.pull_audio(s, chunk)
             assert out.size == chunk
@@ -87,7 +90,12 @@ def main():
         tick()
     print(f"setup+warmup {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
 
+    phase_log.clear()
     times = [tick() for _ in range(args.ticks)]
+    phases = {
+        k: round(statistics.median(p[k] for p in phase_log), 2)
+        for k in phase_log[0]
+    }
     p50 = statistics.median(times)
     p95 = sorted(times)[max(0, int(len(times) * 0.95) - 1)]
     chunk_s = chunk / cfg.sample_rate
@@ -108,15 +116,14 @@ def main():
         # device cost of a tick, measured the way bench.py measures steps
         states = pool._states
         chunks_dev = pool._place_chunks(frames)
-        import jax as _jax
-
-        controls = _jax.tree.map(
-            lambda *xs: jnp.stack(xs), *[pool._controls[s] for s in slots]
-        )
+        mask_dev = pool._place_mask(np.ones(B, bool))
+        controls = pool._controls_device([pool._controls[s] for s in slots],
+                                         pool._controls_version)
         sts = []
         for _ in range(max(args.ticks // 2, 5)):
             t = time.perf_counter()
-            new_states, out = pool._fused_step(params, states, chunks_dev, controls)
+            merged, out = pool._fused_step(
+                params, states, chunks_dev, controls, mask_dev)
             _ = np.asarray(out)
             sts.append((time.perf_counter() - t) * 1000.0)
         step_ms = statistics.median(sts)
@@ -132,6 +139,7 @@ def main():
             "pool_audio_seconds_per_second": round(pool_audio_sps, 1),
             "per_chunk_ms": round(p50 / B, 3),
             "sync_rtt_ms": round(rtt, 1),
+            "phases_ms": phases,
             **({"raw_step_ms": round(step_ms, 2),
                 "host_overhead_ms": round(p50 - step_ms, 2),
                 "host_overhead_pct": round((p50 - step_ms) / p50 * 100.0, 1)}
