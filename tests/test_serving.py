@@ -524,6 +524,49 @@ def test_stream_pool_attach_detach_hammer():
     assert pool.metrics.errors == 0
 
 
+def test_stream_pool_stale_epoch_fixup_deterministic():
+    """A slot detached WHILE the batched step computes must come out of the
+    tick with its cleared (zero) state and no output — deterministically
+    exercising the stale-epoch fixup that the hammer test only races.
+    Round 4 moved the frozen-slot merge inside the batched executable; the
+    epoch guard is now a post-step fixup that restores the cleared state,
+    so a regression here would silently resurrect a detached slot's
+    pre-clear context."""
+    import jax
+
+    from obs_rvc_tpu.stream import StreamPool
+
+    cfg = small_cfg(skip_inference=True)
+    pipe = RvcPipeline(cfg)
+    pool = StreamPool(pipe, params={})
+    a = pool.attach()
+    b = pool.attach()
+    rng = np.random.default_rng(7)
+    for s in (a, b):
+        pool.push_audio(s, rng.standard_normal(cfg.sample_frame_size).astype(np.float32))
+
+    orig = pipe.staged_step
+
+    def racing(*args, **kwargs):
+        out = orig(*args, **kwargs)
+        pool.detach(b)  # epoch bump lands mid-tick, after the snapshot
+        return out
+
+    pipe.staged_step = racing
+    try:
+        assert pool.process_pending() == 2
+    finally:
+        pipe.staged_step = orig
+
+    # detached slot: cleared state, no audio
+    for leaf in jax.tree.leaves(pool._states):
+        assert not np.asarray(leaf[b]).any()
+    assert pool.pull_audio(b, cfg.sample_frame_size).size == 0
+    # surviving slot: state advanced and one chunk delivered
+    assert any(np.asarray(leaf[a]).any() for leaf in jax.tree.leaves(pool._states))
+    assert pool.pull_audio(a, cfg.sample_frame_size).size == cfg.sample_frame_size
+
+
 def test_stream_session_stage_timing_metrics():
     """stage_timing=True surfaces per-stage p50 wall times in the metrics
     snapshot (the reference's per-session stage timers, rvc.rs:217)."""
