@@ -101,10 +101,15 @@ def main():
     chunk_s = chunk / cfg.sample_rate
     pool_audio_sps = B * chunk_s / (p50 / 1000.0)
 
-    # tunnel sync tax: a minimal device->host pull (~29 ms on axon, ~0 real)
+    # tunnel sync tax: a minimal device->host pull (~29 ms on axon, ~0 real).
+    # Must pull a freshly COMPUTED array — np.asarray of an unmutated
+    # device_put result serves from the cached host buffer (measured 0.0 ms)
     x = jax.device_put(np.zeros((8,), np.float32))
+    bump = jax.jit(lambda a: a + 1.0)
     rtts = []
     for _ in range(10):
+        x = bump(x)
+        jax.block_until_ready(x)
         t = time.perf_counter()
         _ = np.asarray(x)
         rtts.append((time.perf_counter() - t) * 1000.0)
