@@ -75,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "(robust compile, default); fused = one executable per step "
                    "(~0.9 ms/chunk faster sustained; pair with --exec-cache for "
                    "deterministic startup)")
+    p.add_argument("--pool-io-dtype", default="float32",
+                   choices=["float32", "int16"],
+                   help="host<->device PCM width for pool ticks (int16 halves "
+                   "the per-tick transfer bytes; needs --step-mode fused)")
     p.add_argument("--exec-cache", action="store_true",
                    help="persist compiled per-geometry executables to disk "
                    "(utils/exec_cache.py) so engine restarts skip the "
@@ -183,7 +187,7 @@ def main(argv=None) -> None:
                           batch_min=max(1, args.pool // 4),
                           default_controls=controls,
                           mode=args.step_mode, exec_cache=args.exec_cache,
-                          mesh=mesh)
+                          mesh=mesh, io_dtype=args.pool_io_dtype)
         pool.start()
         metrics = pool.metrics
 

@@ -77,9 +77,15 @@ class StreamPool:
         mode: str = "staged",
         exec_cache: bool = False,
         mesh=None,
+        io_dtype: str = "float32",
     ):
         if mode not in ("staged", "fused"):
             raise ValueError(f"unknown pool mode {mode!r}")
+        if io_dtype not in ("float32", "int16"):
+            raise ValueError(f"unknown io_dtype {io_dtype!r}")
+        if io_dtype == "int16" and mode != "fused":
+            raise ValueError("io_dtype='int16' needs mode='fused' (the PCM "
+                             "cast is fused into the batched executable)")
         #: optional ('data','model') Mesh — shards params by the TP rules and
         #: slot state/chunks/controls along 'data' (see module docstring)
         self.mesh = mesh
@@ -107,6 +113,12 @@ class StreamPool:
         #: (utils/exec_cache.py) so a primed server skips the remote compile
         self.exec_cache = exec_cache
         self._fused_step = None
+        #: host↔device PCM width for the per-tick chunk/output transfers.
+        #: "int16" halves both (audio is ≤16-bit at the OBS source anyway;
+        #: quantization is 1 LSB ≈ −90 dBFS, fused into the executable) —
+        #: at B=64 the two [64, chunk] f32 transfers are 3.7 MB each per
+        #: tick, the dominant per-tick cost on PCIe/NIC-bound hosts
+        self.io_dtype = io_dtype
         #: controls a slot starts with when attach() gets none — lets the
         #: server's CLI-derived controls apply to pool slots the same way
         #: they do to per-connection sessions
@@ -164,7 +176,7 @@ class StreamPool:
         if self.mesh is None:
             # numpy passes straight into the jitted call — the transfer rides
             # the dispatch instead of costing a separate eager round-trip
-            return np.asarray(chunks, np.float32)
+            return np.asarray(chunks)
         from obs_rvc_tpu.parallel import shard_state
 
         return shard_state(jnp.asarray(chunks), self.mesh)
@@ -336,6 +348,10 @@ class StreamPool:
             return 0
         self._ready_since = None
 
+        if self.io_dtype == "int16":
+            # ship 16-bit PCM over the host↔device link; the inverse cast is
+            # fused into the executable (clip: the rings carry ±1.0 floats)
+            chunks = np.clip(chunks * 32768.0, -32768, 32767).astype(np.int16)
         chunks_dev = self._place_chunks(chunks)
         mask_dev = self._place_mask(have)
         t_drain = _time.perf_counter()
@@ -350,11 +366,14 @@ class StreamPool:
                 else:
                     if self._fused_step is None:
                         cap = self.capacity
+                        pcm16 = self.io_dtype == "int16"
 
                         # NO donation of `states`: attach/_clear_slot may read
                         # self._states concurrently while this call still
                         # points at the pre-step buffers
                         def step_and_merge(params, states, chunks, controls, mask):
+                            if pcm16:
+                                chunks = chunks.astype(jnp.float32) * (1.0 / 32768.0)
                             new_states, out = jax.vmap(
                                 self.pipeline.step, in_axes=(None, 0, 0, 0)
                             )(params, states, chunks, controls)
@@ -365,6 +384,10 @@ class StreamPool:
                                 ),
                                 new_states, states,
                             )
+                            if pcm16:
+                                out = jnp.clip(
+                                    jnp.round(out * 32768.0), -32768.0, 32767.0
+                                ).astype(jnp.int16)
                             return merged, out
 
                         fn = jax.jit(step_and_merge)
@@ -384,6 +407,8 @@ class StreamPool:
                 out = jax.block_until_ready(out)
                 t_step = _time.perf_counter()
                 out = np.asarray(out)
+                if out.dtype == np.int16:
+                    out = out.astype(np.float32) * (1.0 / 32768.0)
                 t_d2h = _time.perf_counter()
             except Exception:
                 logger.exception(

@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--ticks", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--mode", choices=["staged", "fused"], default="fused")
+    ap.add_argument("--io-dtype", choices=["float32", "int16"], default="float32",
+                    help="host<->device PCM width (int16 halves transfer bytes)")
     ap.add_argument("--no-exec-cache", action="store_true")
     ap.add_argument("--no-pallas-resblocks", action="store_true")
     ap.add_argument("--sample-length", type=float, default=0.30,
@@ -65,6 +67,7 @@ def main():
         pipe, params, capacity=B, mode=args.mode,
         exec_cache=not args.no_exec_cache,
         input_capacity_chunks=4, output_capacity_chunks=4,
+        io_dtype=args.io_dtype,
     )
     slots = [pool.attach() for _ in range(B)]
     rng = np.random.default_rng(0)
@@ -120,7 +123,10 @@ def main():
         # re-time the pool's own executable with its resident args: the
         # device cost of a tick, measured the way bench.py measures steps
         states = pool._states
-        chunks_dev = pool._place_chunks(frames)
+        raw = frames
+        if args.io_dtype == "int16":
+            raw = np.clip(raw * 32768.0, -32768, 32767).astype(np.int16)
+        chunks_dev = pool._place_chunks(raw)
         mask_dev = pool._place_mask(np.ones(B, bool))
         controls = pool._controls_device([pool._controls[s] for s in slots],
                                          pool._controls_version)
@@ -140,6 +146,7 @@ def main():
         "extra": {
             "streams": B,
             "mode": args.mode,
+            "io_dtype": args.io_dtype,
             "p95_ms": round(p95, 2),
             "pool_audio_seconds_per_second": round(pool_audio_sps, 1),
             "per_chunk_ms": round(p50 / B, 3),

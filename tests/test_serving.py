@@ -457,6 +457,41 @@ def test_stream_pool_fused_matches_staged(tmp_path, monkeypatch):
         StreamPool(pipe, params={}, capacity=1, mode="bogus")
 
 
+def test_stream_pool_int16_wire_matches_float32():
+    """io_dtype='int16' ships 16-bit PCM across the host↔device link (halves
+    the per-tick transfer bytes — serve.server --pool-io-dtype int16). The
+    cast pair is fused into the batched executable; output must match the
+    float32 wire within 1 LSB of int16 on both the quantized input and the
+    quantized output (≈6e-5 here: the step is linear in the input for the
+    passthrough geometry)."""
+    from obs_rvc_tpu.stream import StreamPool
+
+    cfg = small_cfg(skip_inference=True)
+    pipe = RvcPipeline(cfg)
+    n_chunks = 3
+    chunk = cfg.sample_frame_size
+    rng = np.random.default_rng(11)
+    wav = rng.standard_normal(n_chunks * chunk).astype(np.float32) * 0.1
+
+    def run(io_dtype):
+        pool = StreamPool(pipe, params={}, capacity=1, mode="fused",
+                          io_dtype=io_dtype)
+        s = pool.attach()
+        for i in range(n_chunks):
+            pool.push_audio(s, wav[i * chunk : (i + 1) * chunk])
+            pool.process_pending()
+        assert pool.metrics.snapshot().errors == 0
+        return pool.pull_audio(s, n_chunks * chunk)
+
+    f32 = run("float32")
+    i16 = run("int16")
+    assert i16.size == f32.size > 0
+    np.testing.assert_allclose(i16, f32, atol=1e-4)
+
+    with pytest.raises(ValueError):  # int16 needs the fused executable
+        StreamPool(pipe, params={}, capacity=1, mode="staged", io_dtype="int16")
+
+
 def test_stream_pool_failure_observable():
     """A failing batched step logs, bumps the error counter, and emits
     silence for fed slots (reference's logged recovery, lib.rs:716-727)."""
