@@ -153,6 +153,11 @@ class StreamPool:
         # bumped by _clear_slot; the worker drops results computed from a
         # stale epoch (attach/detach racing the batched step)
         self._epoch = [0] * capacity
+        #: False ⟺ the slot's resident state is fresh-init zeros, so
+        #: _clear_slot can skip its 4-leaf device write — attaching 64
+        #: streams to a pristine pool used to issue 256 eager device writes
+        #: (minutes through the axon tunnel) before the first tick
+        self._slot_dirty = [False] * capacity
         self.metrics = ChunkMetrics(chunk_seconds=cfg.latency_seconds)
 
         self._lock = threading.Lock()
@@ -220,14 +225,16 @@ class StreamPool:
     def _clear_slot(self, i: int) -> None:
         # caller holds self._lock
         self._epoch[i] += 1
-        fresh = StreamState.init(self.pipeline.cfg)
-        self._states = self._place_states(
-            jax.tree.map(
-                lambda batch, single: jnp.asarray(batch).at[i].set(jnp.asarray(single)),
-                self._states,
-                fresh,
+        if self._slot_dirty[i]:
+            fresh = StreamState.init(self.pipeline.cfg)
+            self._states = self._place_states(
+                jax.tree.map(
+                    lambda batch, single: jnp.asarray(batch).at[i].set(jnp.asarray(single)),
+                    self._states,
+                    fresh,
+                )
             )
-        )
+            self._slot_dirty[i] = False
         while self._in[i].pop(self._chunk).size:
             pass
         while self._out[i].pop(self._chunk).size:
@@ -448,6 +455,11 @@ class StreamPool:
                     )
             self._states = self._place_states(merged)
             for i in range(self.capacity):
+                if self._epoch[i] != epochs[i]:
+                    self._slot_dirty[i] = False  # fixup restored fresh zeros
+                elif have[i]:
+                    # success: post-step state; failure: reset to fresh zeros
+                    self._slot_dirty[i] = not failed
                 if fresh_ok[i] and not failed:
                     self._out[i].push(out[i])
                 elif fresh_ok[i]:

@@ -492,6 +492,36 @@ def test_stream_pool_int16_wire_matches_float32():
         StreamPool(pipe, params={}, capacity=1, mode="staged", io_dtype="int16")
 
 
+def test_stream_pool_pristine_attach_skips_state_write():
+    """Attaching to never-stepped slots must not issue device writes (the
+    resident batch state is already fresh zeros) — attaching 64 streams used
+    to cost 256 eager at[i].set dispatches before the first tick. A slot
+    that actually carried state (stepped, then detached/re-attached) still
+    gets zeroed."""
+    from obs_rvc_tpu.stream import StreamPool
+
+    cfg = small_cfg(skip_inference=True)
+    pipe = RvcPipeline(cfg)
+    pool = StreamPool(pipe, params={}, capacity=3)
+
+    before = pool._states
+    a = pool.attach()
+    b = pool.attach()
+    assert pool._states is before  # no device write for pristine slots
+
+    rng = np.random.default_rng(3)
+    pool.push_audio(a, rng.standard_normal(cfg.sample_frame_size).astype(np.float32))
+    pool.push_audio(b, rng.standard_normal(cfg.sample_frame_size).astype(np.float32))
+    pool.process_pending()
+    assert any(np.asarray(l[a]).any() for l in jax.tree.leaves(pool._states))
+
+    pool.detach(a)  # dirty slot: the clear must really zero it
+    for leaf in jax.tree.leaves(pool._states):
+        assert not np.asarray(leaf[a]).any()
+    # slot b untouched by a's clear
+    assert any(np.asarray(l[b]).any() for l in jax.tree.leaves(pool._states))
+
+
 def test_stream_pool_failure_observable():
     """A failing batched step logs, bumps the error counter, and emits
     silence for fed slots (reference's logged recovery, lib.rs:716-727)."""
