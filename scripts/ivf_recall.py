@@ -97,6 +97,14 @@ def main() -> None:
     ap.add_argument("--train-cap", type=int, default=200_000,
                     help="k-means training subsample (faiss-style)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--probes", type=int, nargs="+", default=[64, 120, 256])
+    ap.add_argument("--lcap", type=int, default=0,
+                    help="cap per-list slab length (0 = untruncated max list "
+                    "length). Heavy-tailed data grows 9k-row lists at 1M — "
+                    "capping trades the tail of each probed list for a "
+                    "probes×lcap×dim gather budget (the serving knob)")
+    ap.add_argument("--labels", nargs="+", default=["correlated", "random"],
+                    choices=["correlated", "random"])
     ap.add_argument("--prep-cache", default="",
                     help="directory for table/centroid/assignment .npz "
                     "checkpoints — a retry after a remote-compile-service "
@@ -147,7 +155,8 @@ def main() -> None:
                 print(f"prep cached: {cache}", file=sys.stderr, flush=True)
 
         idx = RetrievalIndex(mode="ivf", k=args.k)
-        params = idx.make_ivf_params(IvfFlatIndex(table, cent, assign))
+        params = idx.make_ivf_params(IvfFlatIndex(table, cent, assign),
+                                     lcap=args.lcap or None)
         # ground truth runs on the REORDERED table so row ids line up
         # (host numpy views — exact_topk_rows never touches the device)
         vt = np.asarray(params["vectors"][:n])
@@ -170,26 +179,38 @@ def main() -> None:
             return hits / tot
 
         for label, chunks in (("correlated", qchunks), ("random", rand_q)):
+            if label not in args.labels:
+                continue
             # exact ground truth ONCE per chunk (shared across probe settings)
             truths = [exact_topk_rows(vt, vn, ch, args.k) for ch in chunks]
             base = nprobe1_recall(chunks, truths)
-            for probes in (64, 120, 256):
+            for probes in args.probes:
                 if probes > nlist:
                     continue
                 hits = tot = 0
                 t_s = time.time()
-                for ch, truth in zip(chunks, truths):
-                    q = jnp.asarray(ch)
-                    _, _, rows = jax.block_until_ready(ivf_search(
-                        jnp.asarray(params["vectors"]), jnp.asarray(params["norms"]),
-                        jnp.asarray(params["lengths"]), jnp.asarray(params["offsets"]),
-                        jnp.asarray(params["centroids"]), jnp.asarray(params["cnorms"]),
-                        q, k=args.k, probes=probes, lcap=idx.lcap, nprobe=1,
-                    ))
-                    rows = np.asarray(rows)
-                    for r, t in zip(rows, truth):
-                        hits += len(set(r.tolist()) & set(t.tolist()))
-                        tot += args.k
+                try:
+                    for ch, truth in zip(chunks, truths):
+                        q = jnp.asarray(ch)
+                        _, _, rows = jax.block_until_ready(ivf_search(
+                            jnp.asarray(params["vectors"]), jnp.asarray(params["norms"]),
+                            jnp.asarray(params["lengths"]), jnp.asarray(params["offsets"]),
+                            jnp.asarray(params["centroids"]), jnp.asarray(params["cnorms"]),
+                            q, k=args.k, probes=probes, lcap=idx.lcap, nprobe=1,
+                        ))
+                        rows = np.asarray(rows)
+                        for r, t in zip(rows, truth):
+                            hits += len(set(r.tolist()) & set(t.tolist()))
+                            tot += args.k
+                except Exception as e:
+                    # e.g. probes×lcap×dim OOMs HBM on skewed lists — record
+                    # the boundary as a row instead of killing the sweep
+                    print(json.dumps({
+                        "n": n, "dim": args.dim, "nlist": nlist,
+                        "lcap": idx.lcap, "queries": label, "probes": probes,
+                        "error": type(e).__name__, "detail": str(e)[:160],
+                    }), flush=True)
+                    continue
                 print(json.dumps({
                     "n": n, "dim": args.dim, "nlist": nlist, "lcap": idx.lcap,
                     "queries": label, "probes": probes, "k": args.k,

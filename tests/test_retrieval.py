@@ -396,8 +396,14 @@ def test_ivf_recall_floor_production_geometry():
     mixture + correlated-walk chunk as the quick floor test; asserts
     recall@8 >= 0.95 and >= faiss nprobe=1 on the same queries.
 
-    Calibration (scripts/ivf_recall.py on-chip + the CPU prototype run,
-    round 4): recall@8 = 1.0 at this geometry, faiss nprobe=1 = 0.14."""
+    Calibration: this test's own setup (2-iter k-means on a 20k subsample)
+    measures recall@8 = 1.0 / nprobe1 = 0.14 on CPU. The on-chip
+    scripts/ivf_recall.py run at the same n/dim but a CONVERGED k-means
+    (6 iters on 200k) measured 0.911-0.978 across probes 64-256 vs nprobe1
+    0.55 (BENCHMARKS.md round-4 recall table): tighter centroids shrink
+    each query's own list, so more of the truth lives in lists the
+    chunk-union doesn't rank — recall here is sensitive to k-means
+    convergence, hence the 0.95 floor rather than an exact pin."""
     from obs_rvc_tpu.retrieval.build import train_ivf, default_nlist
     from obs_rvc_tpu.retrieval.faiss_reader import IvfFlatIndex
     from obs_rvc_tpu.retrieval.index import ivf_search
