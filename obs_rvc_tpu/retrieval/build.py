@@ -114,6 +114,92 @@ def train_ivf(
     return cent, assignments
 
 
+def _split_rows(v: np.ndarray, rows: np.ndarray, cap: int,
+                rng: np.random.Generator, iters: int, depth: int = 0) -> list:
+    """Recursively split one oversized inverted list (row-index array) into
+    sublists of ≤ ``cap`` members via local k-means; degenerate clusters
+    (identical points / no k-means progress) fall back to an arbitrary chop,
+    which is still correct — probing cost counts sublists, and siblings of a
+    tight cluster carry near-identical centroids."""
+    if len(rows) <= cap:
+        return [rows]
+    if depth >= 8:
+        return [rows[i : i + cap] for i in range(0, len(rows), cap)]
+    m = -(-len(rows) // cap)
+    pts = v[rows]
+    pn = np.sum(pts * pts, axis=1)
+    c = pts[rng.choice(len(rows), m, replace=False)].copy()
+    for _ in range(max(1, iters)):
+        d = pn[:, None] - 2.0 * pts @ c.T + np.sum(c * c, axis=1)[None, :]
+        a = np.argmin(d, axis=1)
+        for j in range(m):
+            sel = a == j
+            if sel.any():
+                c[j] = pts[sel].mean(axis=0)
+            else:
+                c[j] = pts[rng.integers(len(rows))]
+    d = pn[:, None] - 2.0 * pts @ c.T + np.sum(c * c, axis=1)[None, :]
+    a = np.argmin(d, axis=1)
+    sizes = np.bincount(a, minlength=m)
+    if sizes.max() == len(rows):  # no progress — chop
+        return [rows[i : i + cap] for i in range(0, len(rows), cap)]
+    out: list = []
+    for j in range(m):
+        g = rows[a == j]
+        if len(g):
+            out.extend(_split_rows(v, g, cap, rng, iters, depth + 1))
+    return out
+
+
+def balance_lists(
+    vectors: np.ndarray,
+    centroids: np.ndarray,
+    assignments: np.ndarray,
+    cap: int,
+    iters: int = 4,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Split inverted lists longer than ``cap`` into sublists via local
+    k-means so a fixed slab length (``ivf_search``'s static ``lcap``) loses
+    no rows to truncation.
+
+    k-means list sizes are heavy-tailed on realistic features (measured max
+    9232 rows at N=1M / nlist=16000 — BENCHMARKS.md recall table); a serving
+    ``lcap`` of 64 would silently drop >99 % of such a list
+    (``retrieval/index.py`` masks ``iota < min(length, lcap)``). After
+    balancing, every row stays reachable: each sublist gets its own
+    recomputed centroid, the chunk-union probe ranks sublists individually,
+    and a heavily-relevant parent list simply consumes several of the
+    ``probes`` slots — cost proportional to rows actually scanned.
+
+    Returns ``(centroids', assignments')`` with ``nlist' ≥ nlist`` and every
+    list ≤ ``cap`` members. Original list ids are not preserved.
+    """
+    rng = np.random.default_rng(seed)
+    v = np.asarray(vectors, np.float32)
+    assign = np.asarray(assignments)
+    nlist = len(centroids)
+    counts = np.bincount(assign, minlength=nlist)
+    order = np.argsort(assign, kind="stable")
+    offs = np.zeros(nlist + 1, np.int64)
+    offs[1:] = np.cumsum(counts)
+    new_cent: list = []
+    groups: list = []
+    for li in range(nlist):
+        rows = order[offs[li] : offs[li + 1]]
+        if len(rows) <= cap:
+            new_cent.append(np.asarray(centroids[li], np.float32))
+            groups.append(rows)
+        else:
+            for g in _split_rows(v, rows, cap, rng, iters):
+                new_cent.append(v[g].mean(axis=0))
+                groups.append(g)
+    out_assign = np.empty(len(assign), np.int32)
+    for j, g in enumerate(groups):
+        out_assign[g] = j
+    return np.stack(new_cent).astype(np.float32), out_assign
+
+
 def load_or_train_ivf(path: str | pathlib.Path, nlist: Optional[int] = None,
                       kmeans_iters: int = 10, seed: int = 0):
     """Load an artifact for ivf-mode search: faiss ``.index`` files carry

@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--index-probes", type=int, default=0,
                    help="ivf mode: lists probed per chunk (0 = auto: max(64, frames), "
                         "the faiss-recall-superset regime)")
+    p.add_argument("--index-lcap", type=int, default=64,
+                   help="ivf mode: static slab rows gathered per probed "
+                   "list; lists longer than this are split into balanced "
+                   "sublists at load (retrieval/build.balance_lists), so "
+                   "the cap costs bandwidth, not recall (0 = uncapped)")
     # the 13 settings
     p.add_argument("--model-version", default="v2", choices=["v1", "v2"])
     p.add_argument("--dest-sample-rate", type=int, default=40000)
@@ -107,6 +112,7 @@ def main(argv=None) -> None:
         f0_median_radius=args.f0_median_radius,
         retrieval_index=RetrievalIndex(
             mode=args.index_mode, probes=args.index_probes or None,
+            lcap=args.index_lcap or None,
         ) if args.index else None,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         pitch_algorithm=str(settings.pitch_algorithm),

@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="retrieval search: brute-force or TPU-native IVF list probing")
     p.add_argument("--index-probes", type=int, default=0,
                    help="ivf mode: lists probed per chunk (0 = auto)")
+    p.add_argument("--index-lcap", type=int, default=64,
+                   help="ivf mode: static slab rows gathered per probed "
+                   "list; lists longer than this are split into balanced "
+                   "sublists at load (retrieval/build.balance_lists), so "
+                   "the cap costs bandwidth, not recall (0 = uncapped)")
     p.add_argument("--model-version", default="v2", choices=["v1", "v2"])
     p.add_argument("--pitch-algorithm", default="rmvpe", choices=["rmvpe", "crepe", "fcpe"])
     p.add_argument("--crepe")
@@ -97,8 +102,7 @@ def build_pipeline(args):
 
     from obs_rvc_tpu.config import PitchAlgorithm, RvcModelVersion, StreamSettings
     from obs_rvc_tpu.models.checkpoints import load_pipeline_params
-    from obs_rvc_tpu.retrieval import RetrievalIndex
-    from obs_rvc_tpu.stream import RvcPipeline, StepControls
+    from obs_rvc_tpu.stream import StepControls
 
     settings = StreamSettings(
         model_path=args.model,
@@ -116,34 +120,27 @@ def build_pipeline(args):
         skip_inference=args.skip_inference,
     )
     cfg = settings.chunk_config(args.device_sample_rate)
-    pipe = RvcPipeline(
-        cfg,
-        settings.model_version,
-        retrieval_index=RetrievalIndex(
-            mode=args.index_mode, probes=args.index_probes or None,
-        ) if args.index else None,
-        compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
-        pitch_algorithm=str(settings.pitch_algorithm),
-        keyshift=int(round(args.resonance_shift)),
-        f0_median_radius=args.f0_median_radius,
-        phase_vocoder=args.phase_vocoder,
-        pallas_resblocks=False if args.no_pallas_resblocks else None,
-    )
-    params = load_pipeline_params(
-        pipe,
-        contentvec_path=args.contentvec,
-        rmvpe_path=args.rmvpe,
-        crepe_path=args.crepe,
-        fcpe_path=args.fcpe,
-        synthesizer_path=args.model,
-        index_path=args.index,
-        index_dtype=jnp.bfloat16 if args.index_dtype == "bfloat16" else None,
-    )
-    if args.dtype == "bfloat16":
-        from obs_rvc_tpu.models.checkpoints import cast_params_for_serving
+    pipe = _build_pipe(args, settings, cfg, jnp)
+    if cfg.skip_inference:
+        # the passthrough path touches no nets (stream/pipeline.py skip
+        # branch) — don't pay a full-model random init to serve it
+        params = {}
+    else:
+        params = load_pipeline_params(
+            pipe,
+            contentvec_path=args.contentvec,
+            rmvpe_path=args.rmvpe,
+            crepe_path=args.crepe,
+            fcpe_path=args.fcpe,
+            synthesizer_path=args.model,
+            index_path=args.index,
+            index_dtype=jnp.bfloat16 if args.index_dtype == "bfloat16" else None,
+        )
+        if args.dtype == "bfloat16":
+            from obs_rvc_tpu.models.checkpoints import cast_params_for_serving
 
-        # flax casts per-op anyway; pre-cast halves weight HBM traffic
-        params = cast_params_for_serving(params)
+            # flax casts per-op anyway; pre-cast halves weight HBM traffic
+            params = cast_params_for_serving(params)
     controls = StepControls.default(
         pitch_shift=args.pitch_shift,
         rms_mix_rate=args.loudness_factor,
@@ -153,7 +150,27 @@ def build_pipeline(args):
     return pipe, params, controls
 
 
-def main(argv=None) -> None:
+def _build_pipe(args, settings, cfg, jnp):
+    from obs_rvc_tpu.retrieval import RetrievalIndex
+    from obs_rvc_tpu.stream import RvcPipeline
+
+    return RvcPipeline(
+        cfg,
+        settings.model_version,
+        retrieval_index=RetrievalIndex(
+            mode=args.index_mode, probes=args.index_probes or None,
+            lcap=args.index_lcap or None,
+        ) if args.index else None,
+        compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        pitch_algorithm=str(settings.pitch_algorithm),
+        keyshift=int(round(args.resonance_shift)),
+        f0_median_radius=args.f0_median_radius,
+        phase_vocoder=args.phase_vocoder,
+        pallas_resblocks=False if args.no_pallas_resblocks else None,
+    )
+
+
+def main(argv=None, *, ready=None, stop_event=None) -> None:
     args = build_parser().parse_args(argv)
 
     from obs_rvc_tpu.serve.health import start_health_server
@@ -226,7 +243,12 @@ def main(argv=None) -> None:
         t.start()
 
     if args.port:
-        serve_tcp(make_session, args.host, args.port, pool=pool)  # blocks
+        # blocks; ``ready``/``stop_event`` let an embedding test (or
+        # supervisor) learn the bound port and shut the accept loop down
+        serve_tcp(make_session, args.host, args.port, pool=pool,
+                  ready=ready, stop_event=stop_event)
+        if pool is not None:
+            pool.stop()
     else:
         for t in threads:
             t.join()

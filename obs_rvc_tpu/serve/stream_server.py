@@ -169,12 +169,17 @@ class _PoolSlotAdapter:
         self._pool.update_controls(self._slot, **kw)
 
 
-def serve_tcp(make_session, host: str, port: int, pool=None) -> None:
+def serve_tcp(make_session, host: str, port: int, pool=None,
+              ready=None, stop_event=None) -> None:
     """Accept loop. With ``pool`` (a started StreamPool), every connection
     claims a pool slot and all voices batch through one vmapped step per
     tick (DP on-chip); otherwise ``make_session()`` builds an independent
     StreamSession per connection. Connections are served on threads either
-    way."""
+    way.
+
+    ``ready(bound_port)`` fires once the socket listens (lets callers bind
+    port 0 for an ephemeral port); ``stop_event`` (a ``threading.Event``)
+    ends the accept loop — in-flight connections finish on their threads."""
     import threading
 
     def handle(conn, addr):
@@ -195,7 +200,14 @@ def serve_tcp(make_session, host: str, port: int, pool=None) -> None:
         srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         srv.bind((host, port))
         srv.listen(16)
-        print(f"stream server on {host}:{port}", file=sys.stderr)
-        while True:
-            conn, addr = srv.accept()
+        print(f"stream server on {host}:{srv.getsockname()[1]}", file=sys.stderr)
+        if ready is not None:
+            ready(srv.getsockname()[1])
+        if stop_event is not None:
+            srv.settimeout(0.2)
+        while stop_event is None or not stop_event.is_set():
+            try:
+                conn, addr = srv.accept()
+            except socket.timeout:
+                continue
             threading.Thread(target=handle, args=(conn, addr), daemon=True).start()

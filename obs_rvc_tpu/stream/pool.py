@@ -357,8 +357,10 @@ class StreamPool:
 
         if self.io_dtype == "int16":
             # ship 16-bit PCM over the host↔device link; the inverse cast is
-            # fused into the executable (clip: the rings carry ±1.0 floats)
-            chunks = np.clip(chunks * 32768.0, -32768, 32767).astype(np.int16)
+            # fused into the executable (clip: the rings carry ±1.0 floats).
+            # rint, not truncate — matches the output path's jnp.round and
+            # keeps quantization error at the documented half-LSB, unbiased
+            chunks = np.clip(np.rint(chunks * 32768.0), -32768, 32767).astype(np.int16)
         chunks_dev = self._place_chunks(chunks)
         mask_dev = self._place_mask(have)
         t_drain = _time.perf_counter()
@@ -446,13 +448,14 @@ class StreamPool:
             stale = [i for i in range(self.capacity) if self._epoch[i] != epochs[i]]
             if stale:
                 # attach/detach raced the step: restore those slots' cleared
-                # state (the merged tree was computed from the old snapshot)
-                fresh = StreamState.init(self.pipeline.cfg)
-                for i in stale:
-                    merged = jax.tree.map(
-                        lambda b, s: jnp.asarray(b).at[i].set(jnp.asarray(s)),
-                        merged, fresh,
-                    )
+                # state (the merged tree was computed from the old snapshot).
+                # ONE jitted masked merge for however many slots raced — a
+                # reconnect burst must not serialize per-slot ~29 ms device
+                # round-trips while holding the lock (ADVICE r4)
+                smask = np.zeros(self.capacity, bool)
+                smask[stale] = True
+                fresh_batch = StreamState.init_batch(self.pipeline.cfg, self.capacity)
+                merged = self._masked_merge_fn()(smask, fresh_batch, merged)
             self._states = self._place_states(merged)
             for i in range(self.capacity):
                 if self._epoch[i] != epochs[i]:

@@ -40,6 +40,16 @@ def main():
                     help="shrink with --extra-inference-time for CPU smokes")
     ap.add_argument("--extra-inference-time", type=float, default=2.00)
     ap.add_argument("--skip-inference", action="store_true")
+    ap.add_argument("--pitch-algorithm", default="rmvpe",
+                    choices=["rmvpe", "crepe", "fcpe"],
+                    help="fcpe is the measured fastest serving extractor "
+                    "(BENCHMARKS.md pitch table)")
+    ap.add_argument("--realtime", type=float, default=0.0, metavar="SECONDS",
+                    help="after the throughput ticks, run wall-clock-paced "
+                    "ticks (one chunk per slot every chunk_s) for SECONDS "
+                    "and report deadline misses — the reference's implicit "
+                    "contract is zero misses within the 300 ms chunk budget "
+                    "(obs-rvc/src/lib.rs:179)")
     args = ap.parse_args()
 
     import jax
@@ -59,6 +69,7 @@ def main():
         cfg,
         compute_dtype=jnp.bfloat16,
         pallas_resblocks=False if args.no_pallas_resblocks else None,
+        pitch_algorithm=args.pitch_algorithm,
     )
     params = jax.device_put(cast_params_for_serving(pipe.init_params_fast(0)))
 
@@ -125,7 +136,7 @@ def main():
         states = pool._states
         raw = frames
         if args.io_dtype == "int16":
-            raw = np.clip(raw * 32768.0, -32768, 32767).astype(np.int16)
+            raw = np.clip(np.rint(raw * 32768.0), -32768, 32767).astype(np.int16)
         chunks_dev = pool._place_chunks(raw)
         mask_dev = pool._place_mask(np.ones(B, bool))
         controls = pool._controls_device([pool._controls[s] for s in slots],
@@ -139,6 +150,42 @@ def main():
             sts.append((time.perf_counter() - t) * 1000.0)
         step_ms = statistics.median(sts)
 
+    realtime = None
+    if args.realtime > 0:
+        # wall-clock-paced serving: one chunk per slot every chunk_s on an
+        # ABSOLUTE schedule (a late tick doesn't shift later deadlines).
+        # A tick misses when its outputs aren't ready by the next chunk
+        # boundary — the moment a real client would underrun.
+        budget = chunk_s
+        n_ticks = int(args.realtime / budget)
+        lateness = []
+        misses = 0
+        start = time.perf_counter()
+        for kk in range(n_ticks):
+            t_due = start + kk * budget
+            while True:
+                dt = t_due - time.perf_counter()
+                if dt <= 0:
+                    break
+                time.sleep(min(dt, 0.01))
+            tick()
+            late = time.perf_counter() - t_due - budget
+            lateness.append(late * 1000.0)
+            if late > 0:
+                misses += 1
+        lat_sorted = sorted(lateness)
+        realtime = {
+            "paced_seconds": round(n_ticks * budget, 1),
+            "ticks": n_ticks,
+            "deadline_misses": misses,
+            "miss_rate": round(misses / max(n_ticks, 1), 4),
+            # completion relative to the deadline; negative = headroom
+            "lateness_p50_ms": round(lat_sorted[len(lat_sorted) // 2], 1),
+            "lateness_p95_ms": round(
+                lat_sorted[max(0, int(len(lat_sorted) * 0.95) - 1)], 1),
+            "lateness_max_ms": round(lat_sorted[-1], 1),
+        }
+
     result = {
         "metric": "pool_tick_p50_ms",
         "value": round(p50, 2),
@@ -147,6 +194,8 @@ def main():
             "streams": B,
             "mode": args.mode,
             "io_dtype": args.io_dtype,
+            "pitch_algorithm": args.pitch_algorithm,
+            **({"realtime": realtime} if realtime else {}),
             "p95_ms": round(p95, 2),
             "pool_audio_seconds_per_second": round(pool_audio_sps, 1),
             "per_chunk_ms": round(p50 / B, 3),

@@ -1,0 +1,207 @@
+"""Server-level multi-client soak (VERDICT r4 item 5).
+
+Everything before this test drove the pool directly or through a single
+connection; here the REAL unified server entry (``serve.server.main`` with
+``--pool 8 --mesh data=4,model=2``) serves ≥8 *concurrent* socket clients —
+6 raw-TCP + 2 WebSocket — with reconnect churn, a pool-full rejection, and
+a live metrics scrape, asserting per-client output parity with a purely
+sequential pass through the same server.
+
+This exercises the per-slot epoch guard (attach/detach racing live ticks),
+ring wraparound, and the accept loop under real thread concurrency — the
+N-producer generalization of the reference's single OBS audio-callback
+producer (``/root/reference/obs-rvc/src/lib.rs:592-643``).
+
+Parity logic: pool output is a pure function of each slot's input prefix
+(starved slots freeze, attach clears state), so the first ``len(wav)``
+output samples compare deterministically regardless of tick interleaving.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+import jax
+
+from obs_rvc_tpu.config import StreamSettings
+from obs_rvc_tpu.serve import server as server_mod
+from obs_rvc_tpu.serve.stream_server import StreamClient
+from obs_rvc_tpu.serve.ws import WsStreamClient
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+N_CLIENTS = 8
+N_CHUNKS = 5
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def soak_server():
+    """One pooled mesh server for the whole module, driven through the real
+    CLI argv surface. ``--skip-inference`` keeps the CPU cost at the
+    resample/ring layer (the concurrency machinery under test is identical;
+    net-correctness on the mesh is test_mesh_serving's job) — and exercises
+    the zero-param fast start that mode now ships with."""
+    port, ws_port, health_port = _free_port(), _free_port(), _free_port()
+    stop = threading.Event()
+    bound: list[int] = []
+    argv = [
+        "--host", "127.0.0.1", "--port", str(port),
+        "--ws-port", str(ws_port), "--health-port", str(health_port),
+        "--pool", str(N_CLIENTS), "--mesh", "data=4,model=2",
+        "--skip-inference", "--sample-length", "0.10",
+        "--extra-inference-time", "0.50", "--dtype", "float32",
+    ]
+    th = threading.Thread(
+        target=server_mod.main, args=(argv,),
+        kwargs={"ready": bound.append, "stop_event": stop}, daemon=True,
+    )
+    th.start()
+    deadline = time.time() + 120
+    while not bound and th.is_alive() and time.time() < deadline:
+        time.sleep(0.05)
+    assert bound, "server did not come up"
+    cfg = StreamSettings(
+        sample_length=0.10, extra_inference_time=0.50, skip_inference=True
+    ).chunk_config(48000)
+    yield {
+        "port": bound[0], "ws_port": ws_port, "health_port": health_port,
+        "chunk": cfg.sample_frame_size,
+    }
+    stop.set()
+    th.join(timeout=30)
+    assert not th.is_alive(), "server did not shut down"
+
+
+def _connect(info, ws: bool):
+    deadline = time.time() + 60
+    while True:
+        try:
+            if ws:
+                return WsStreamClient.connect("127.0.0.1", info["ws_port"])
+            return StreamClient.connect_tcp("127.0.0.1", info["port"])
+        except (ConnectionError, OSError):
+            if time.time() > deadline:
+                raise
+            time.sleep(0.05)
+
+
+def _stream(info, wav: np.ndarray, ws: bool = False) -> np.ndarray:
+    """Stream ``wav`` chunk-by-chunk, then pump silence until the first
+    ``len(wav)`` output samples have drained; close (detaching the slot)."""
+    chunk = info["chunk"]
+    client = _connect(info, ws)
+    outs = []
+    try:
+        for i in range(0, len(wav), chunk):
+            outs.append(client.send_audio(wav[i : i + chunk]))
+        got = sum(o.size for o in outs)
+        deadline = time.time() + 120
+        while got < len(wav) and time.time() < deadline:
+            out = client.send_audio(np.zeros(chunk, np.float32))
+            outs.append(out)
+            got += out.size
+            time.sleep(0.002)
+    finally:
+        client.close()
+    assert sum(o.size for o in outs) >= len(wav), "output never drained"
+    return np.concatenate([o for o in outs if o.size])[: len(wav)]
+
+
+def _make_wavs(chunk: int, n_clients: int = N_CLIENTS):
+    t = np.arange(N_CHUNKS * chunk) / 48000.0
+    return [
+        (0.2 * np.sin(2 * np.pi * (220.0 + 55.0 * c) * t)).astype(np.float32)
+        for c in range(n_clients)
+    ]
+
+
+def test_soak_concurrent_matches_sequential(soak_server):
+    wavs = _make_wavs(soak_server["chunk"])
+
+    # sequential baseline through the SAME live server (slot reuse per run)
+    seq = [_stream(soak_server, w) for w in wavs]
+
+    def run_concurrent():
+        results: list = [None] * N_CLIENTS
+        errors: list = []
+
+        def worker(c):
+            try:
+                results[c] = _stream(soak_server, wavs[c], ws=c >= 6)
+            except Exception as e:  # surfaced below with the client id
+                errors.append((c, repr(e)))
+
+        threads = [
+            threading.Thread(target=worker, args=(c,)) for c in range(N_CLIENTS)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errors, f"client failures: {errors}"
+        return results
+
+    conc = run_concurrent()
+    for c in range(N_CLIENTS):
+        assert conc[c].size == wavs[c].size
+        np.testing.assert_allclose(
+            conc[c], seq[c], atol=2e-4,
+            err_msg=f"client {c} diverged from its sequential run",
+        )
+
+    # churn: every client reconnects (fresh slots, epochs bumped mid-serve)
+    # and must reproduce the same outputs again
+    again = run_concurrent()
+    for c in range(N_CLIENTS):
+        np.testing.assert_allclose(again[c], seq[c], atol=2e-4)
+
+
+def test_soak_pool_full_rejection(soak_server):
+    """Capacity+1-th concurrent connection is rejected cleanly (server logs
+    and closes; the pool's 8 slots stay intact for the holders)."""
+    holders = [_connect(soak_server, ws=False) for _ in range(N_CLIENTS)]
+    chunk = soak_server["chunk"]
+    try:
+        # every holder proves its slot with one live round-trip
+        for h in holders:
+            h.send_audio(np.zeros(chunk, np.float32))
+        ninth = _connect(soak_server, ws=False)
+        with pytest.raises((EOFError, ConnectionError, AssertionError)):
+            for _ in range(50):  # rejection may land after a few frames
+                ninth.send_audio(np.zeros(chunk, np.float32))
+                time.sleep(0.01)
+    finally:
+        for h in holders:
+            h.close()
+    # slots free again after the holders drop
+    time.sleep(0.2)
+    c = _connect(soak_server, ws=False)
+    c.send_audio(np.zeros(chunk, np.float32))
+    c.close()
+
+
+def test_soak_metrics_counters(soak_server):
+    """The health endpoint aggregates real pool traffic."""
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{soak_server['health_port']}/healthz", timeout=10
+    ) as r:
+        assert r.read() == b"ok"
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{soak_server['health_port']}/metrics", timeout=10
+    ) as r:
+        snap = json.loads(r.read())
+    assert snap["chunks"] > 0, snap
