@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "int16"],
                    help="host<->device PCM width for pool ticks (int16 halves "
                    "the per-tick transfer bytes; needs --step-mode fused)")
+    p.add_argument("--pool-pipelined", action="store_true",
+                   help="double-buffered pool ticks: tick k's output pull "
+                   "overlaps tick k+1's compute (+1 chunk output latency; "
+                   "needs --step-mode fused). The high-throughput preset.")
     p.add_argument("--exec-cache", action="store_true",
                    help="persist compiled per-geometry executables to disk "
                    "(utils/exec_cache.py) so engine restarts skip the "
@@ -204,7 +208,8 @@ def main(argv=None, *, ready=None, stop_event=None) -> None:
                           batch_min=max(1, args.pool // 4),
                           default_controls=controls,
                           mode=args.step_mode, exec_cache=args.exec_cache,
-                          mesh=mesh, io_dtype=args.pool_io_dtype)
+                          mesh=mesh, io_dtype=args.pool_io_dtype,
+                          pipelined=args.pool_pipelined)
         pool.start()
         metrics = pool.metrics
 

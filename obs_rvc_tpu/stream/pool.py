@@ -78,6 +78,7 @@ class StreamPool:
         exec_cache: bool = False,
         mesh=None,
         io_dtype: str = "float32",
+        pipelined: bool = False,
     ):
         if mode not in ("staged", "fused"):
             raise ValueError(f"unknown pool mode {mode!r}")
@@ -86,6 +87,8 @@ class StreamPool:
         if io_dtype == "int16" and mode != "fused":
             raise ValueError("io_dtype='int16' needs mode='fused' (the PCM "
                              "cast is fused into the batched executable)")
+        if pipelined and mode != "fused":
+            raise ValueError("pipelined=True needs mode='fused'")
         #: optional ('data','model') Mesh — shards params by the TP rules and
         #: slot state/chunks/controls along 'data' (see module docstring)
         self.mesh = mesh
@@ -119,6 +122,17 @@ class StreamPool:
         #: at B=64 the two [64, chunk] f32 transfers are 3.7 MB each per
         #: tick, the dominant per-tick cost on PCIe/NIC-bound hosts
         self.io_dtype = io_dtype
+        #: double-buffered output pulls (fused mode): a tick dispatches its
+        #: batched step asynchronously, publishes the (async) post-step
+        #: state handles, and pulls the PREVIOUS tick's output while the
+        #: device computes — the device→host transfer of tick k−1 overlaps
+        #: the compute of tick k. Costs exactly one tick of added output
+        #: latency; on transfer-bound links (PCIe, the axon tunnel) it hides
+        #: one of the two per-tick PCM transfers. Throughput preset knob
+        #: (serve.server --pool-pipelined).
+        self.pipelined = pipelined
+        #: stashed (out_device, have_mask, epochs) of the not-yet-pulled tick
+        self._pending: Optional[tuple] = None
         #: controls a slot starts with when attach() gets none — lets the
         #: server's CLI-derived controls apply to pool slots the same way
         #: they do to per-connection sessions
@@ -413,18 +427,27 @@ class StreamPool:
                     merged, out = self._fused_step(
                         self.params, states, chunks_dev, controls, mask_dev
                     )
-                out = jax.block_until_ready(out)
-                t_step = _time.perf_counter()
-                out = np.asarray(out)
-                if out.dtype == np.int16:
-                    out = out.astype(np.float32) * (1.0 / 32768.0)
-                t_d2h = _time.perf_counter()
+                if self.pipelined and self.mode == "fused":
+                    # leave `out` on device: the pull happens AFTER the next
+                    # dispatch (or on flush), overlapping the transfer with
+                    # this tick's device compute
+                    t_step = t_d2h = _time.perf_counter()
+                else:
+                    out = jax.block_until_ready(out)
+                    t_step = _time.perf_counter()
+                    out = np.asarray(out)
+                    if out.dtype == np.int16:
+                        out = out.astype(np.float32) * (1.0 / 32768.0)
+                    t_d2h = _time.perf_counter()
             except Exception:
                 logger.exception(
                     "batched step failed; emitting silence for fed slots and resetting"
                 )
                 self.metrics.record_error()
                 failed = True
+                # deliver any stashed tick first — its audio precedes this
+                # tick's failure silence (ordering)
+                self.flush_pending()
                 t_step = t_d2h = _time.perf_counter()
                 out = np.zeros((self.capacity, self._chunk), np.float32)
                 # fed slots reset to fresh state, frozen slots keep context
@@ -463,26 +486,74 @@ class StreamPool:
                 elif have[i]:
                     # success: post-step state; failure: reset to fresh zeros
                     self._slot_dirty[i] = not failed
-                if fresh_ok[i] and not failed:
-                    self._out[i].push(out[i])
-                elif fresh_ok[i]:
-                    # failed step: keep audio flowing with silence
-                    self._out[i].push(np.zeros(self._chunk, np.float32))
+                if not (self.pipelined and not failed):
+                    if fresh_ok[i] and not failed:
+                        self._out[i].push(out[i])
+                    elif fresh_ok[i]:
+                        # failed step: keep audio flowing with silence
+                        self._out[i].push(np.zeros(self._chunk, np.float32))
+        t_pub = _time.perf_counter()
+        if self.pipelined and not failed:
+            # deliver the PREVIOUS tick's audio while the device runs this
+            # tick, then stash this tick's device handle
+            self.flush_pending()
+            self._pending = (out, have, epochs)
         t_end = _time.perf_counter()
         self.last_tick_phases = {
             "controls_ms": (t_controls - t0) * 1e3,
             "drain_ms": (t_drain - t_controls) * 1e3,
             "dispatch_ms": (t_step - t_drain) * 1e3,
-            "d2h_ms": (t_d2h - t_step) * 1e3,
-            "merge_ms": (t_end - t_d2h) * 1e3,
+            "d2h_ms": (t_d2h - t_step) * 1e3 + (t_end - t_pub) * 1e3,
+            "merge_ms": (t_pub - t_d2h) * 1e3,
         }
         return int(have.sum())
+
+    def flush_pending(self) -> None:
+        """Pipelined mode: pull the stashed tick's output and deliver it to
+        the rings (epoch-checked, exactly like the synchronous path). A pull
+        that surfaces an async dispatch failure emits silence for that
+        tick's fed slots and resets their (poisoned) streaming state — the
+        next tick re-converges from fresh zeros within one chunk."""
+        prev, self._pending = self._pending, None
+        if prev is None:
+            return
+        out_dev, have, epochs = prev
+        try:
+            out = np.asarray(jax.block_until_ready(out_dev))
+            if out.dtype == np.int16:
+                out = out.astype(np.float32) * (1.0 / 32768.0)
+            ok = True
+        except Exception:
+            logger.exception(
+                "pipelined output pull failed; silence for fed slots and reset"
+            )
+            self.metrics.record_error()
+            out = np.zeros((self.capacity, self._chunk), np.float32)
+            ok = False
+        with self._lock:
+            for i in range(self.capacity):
+                if have[i] and (not ok or self._epoch[i] == epochs[i]):
+                    self._out[i].push(out[i])
+            if not ok:
+                smask = np.asarray(have, bool)
+                fresh_batch = StreamState.init_batch(self.pipeline.cfg, self.capacity)
+                self._states = self._place_states(
+                    self._masked_merge_fn()(smask, fresh_batch, self._states)
+                )
+                for i in np.nonzero(smask)[0]:
+                    self._epoch[int(i)] += 1  # drop in-flight results for these slots
+                    self._slot_dirty[int(i)] = False
 
     def _loop(self) -> None:
         while self._running:
             if self.should_step():
                 if self.process_pending():
                     continue
+            if self._pending is not None:
+                # quiescent with a stashed tick: deliver it now (pipelined
+                # mode must not hold the last chunk hostage)
+                self.flush_pending()
+                continue
             # not enough ready slots yet: sleep until more audio arrives or
             # (if something is already waiting) the batching deadline
             timeout = 1.0
@@ -503,3 +574,4 @@ class StreamPool:
             self._wake.set()
             self._thread.join()
             self._thread = None
+        self.flush_pending()

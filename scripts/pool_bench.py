@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--mode", choices=["staged", "fused"], default="fused")
     ap.add_argument("--io-dtype", choices=["float32", "int16"], default="float32",
                     help="host<->device PCM width (int16 halves transfer bytes)")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="double-buffered output pulls: tick k's device->host "
+                    "transfer overlaps tick k+1's compute (+1 tick latency)")
     ap.add_argument("--no-exec-cache", action="store_true")
     ap.add_argument("--no-pallas-resblocks", action="store_true")
     ap.add_argument("--sample-length", type=float, default=0.30,
@@ -78,7 +81,7 @@ def main():
         pipe, params, capacity=B, mode=args.mode,
         exec_cache=not args.no_exec_cache,
         input_capacity_chunks=4, output_capacity_chunks=4,
-        io_dtype=args.io_dtype,
+        io_dtype=args.io_dtype, pipelined=args.pipelined,
     )
     slots = [pool.attach() for _ in range(B)]
     rng = np.random.default_rng(0)
@@ -86,6 +89,8 @@ def main():
     frames = (rng.standard_normal((B, chunk)).astype(np.float32) * 0.1)
 
     phase_log: list[dict] = []
+    pulled = [0] * B
+    ticked = [0]
 
     def tick():
         for k, s in enumerate(slots):
@@ -94,10 +99,11 @@ def main():
         n = pool.process_pending()
         assert n == B, n
         dt = (time.perf_counter() - t) * 1000.0
+        ticked[0] += 1
         phase_log.append(dict(pool.last_tick_phases))
-        for s in slots:
-            out = pool.pull_audio(s, chunk)
-            assert out.size == chunk
+        for k, s in enumerate(slots):
+            # pipelined mode lags one tick; pull whatever has been delivered
+            pulled[k] += pool.pull_audio(s, chunk).size
         return dt
 
     for _ in range(args.warmup):
@@ -186,6 +192,12 @@ def main():
             "lateness_max_ms": round(lat_sorted[-1], 1),
         }
 
+    # drain: every pushed chunk must come back (pipelined lags one tick)
+    pool.flush_pending()
+    for k, s in enumerate(slots):
+        pulled[k] += pool.pull_audio(s, ticked[0] * chunk).size
+    assert all(p == ticked[0] * chunk for p in pulled), pulled
+
     result = {
         "metric": "pool_tick_p50_ms",
         "value": round(p50, 2),
@@ -194,6 +206,7 @@ def main():
             "streams": B,
             "mode": args.mode,
             "io_dtype": args.io_dtype,
+            "pipelined": args.pipelined,
             "pitch_algorithm": args.pitch_algorithm,
             **({"realtime": realtime} if realtime else {}),
             "p95_ms": round(p95, 2),

@@ -492,6 +492,55 @@ def test_stream_pool_int16_wire_matches_float32():
         StreamPool(pipe, params={}, capacity=1, mode="staged", io_dtype="int16")
 
 
+def test_stream_pool_pipelined_matches_sync():
+    """pipelined=True (double-buffered output pulls — serve.server
+    --pool-pipelined) must deliver byte-identical per-slot audio, one tick
+    late: tick k's output lands after tick k+1's dispatch (or on
+    flush_pending/stop). Covers a starved tick and the quiescent flush."""
+    from obs_rvc_tpu.stream import StreamPool
+
+    cfg = small_cfg(skip_inference=True)
+    pipe = RvcPipeline(cfg)
+    n_chunks = 4
+    chunk = cfg.sample_frame_size
+    rng = np.random.default_rng(13)
+    wavs = [rng.standard_normal(n_chunks * chunk).astype(np.float32) * 0.1
+            for _ in range(2)]
+
+    def run(pipelined):
+        pool = StreamPool(pipe, params={}, capacity=2, mode="fused",
+                          pipelined=pipelined)
+        slots = [pool.attach() for _ in wavs]
+        fed = [0, 0]
+        ticks = 0
+        lagged = False
+        while min(fed) < n_chunks:
+            for k, s in enumerate(slots):
+                starving = k == 0 and fed[0] == 2 and ticks == 2
+                if not starving and fed[k] < n_chunks:
+                    pool.push_audio(s, wavs[k][fed[k] * chunk : (fed[k] + 1) * chunk])
+                    fed[k] += 1
+            ticks += 1
+            pool.process_pending()
+            if pipelined and ticks == 1:
+                # the defining behavior: first tick's audio is still on device
+                lagged = pool.pull_audio(slots[0], chunk).size == 0
+        if pipelined:
+            assert lagged, "pipelined pool delivered synchronously"
+        pool.stop()  # flushes the stashed tick
+        assert pool.metrics.snapshot().errors == 0
+        return [pool.pull_audio(s, n_chunks * chunk) for s in slots]
+
+    sync = run(False)
+    pipe_out = run(True)
+    for a, b in zip(pipe_out, sync):
+        assert a.size == b.size == n_chunks * chunk
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    with pytest.raises(ValueError):  # pipelined needs the fused executable
+        StreamPool(pipe, params={}, capacity=1, mode="staged", pipelined=True)
+
+
 def test_stream_pool_pristine_attach_skips_state_write():
     """Attaching to never-stepped slots must not issue device writes (the
     resident batch state is already fresh zeros) — attaching 64 streams used
