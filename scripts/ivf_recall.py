@@ -227,13 +227,18 @@ def main() -> None:
             """Amortized device ms per chunk search: dependency-chained
             fori_loop with a traced count, forced-transfer sync (the only
             reliable sync on the axon relay — docs/DEVELOPMENT.md 3b), slope
-            between two counts so dispatch/RTT cancel."""
-            def run(q, niter):
+            between two counts so dispatch/RTT cancel.
+
+            The table MUST enter the jit as arguments, not a closure — a
+            captured 3.1 GB device table lowers as an HLO *constant*
+            (observed: "3.25GB of constants captured" + the remote compile
+            choking on it)."""
+            def run(vectors, norms, lengths, offsets, centroids, cnorms,
+                    q, niter):
                 def body(i, carry):
                     qc, acc = carry
                     _, neg, _ = ivf_search(
-                        dev["vectors"], dev["norms"], dev["lengths"],
-                        dev["offsets"], dev["centroids"], dev["cnorms"],
+                        vectors, norms, lengths, offsets, centroids, cnorms,
                         qc, k=args.k, probes=probes, lcap=lcap, nprobe=1)
                     acc = acc + jnp.sum(neg).astype(jnp.float32)
                     qc = qc * (1.0 + jnp.tanh(acc) * 1e-7)
@@ -250,7 +255,10 @@ def main() -> None:
                 ts = []
                 for _ in range(reps):
                     t0 = time.perf_counter()
-                    float(np.asarray(fn(qd, niter)))  # transfer = sync
+                    val = fn(dev["vectors"], dev["norms"], dev["lengths"],
+                             dev["offsets"], dev["centroids"], dev["cnorms"],
+                             qd, niter)
+                    float(np.asarray(val))  # transfer = sync
                     ts.append(time.perf_counter() - t0)
                 return min(ts) * 1000.0
 
