@@ -247,6 +247,20 @@ def test_exec_cache_roundtrip(tmp_path):
         assert status2 == "hit", status2
         np.testing.assert_array_equal(np.asarray(exe2(x, y)), want)
 
+        # gzip fallback: a committed <entry>.exe.pkl.gz must serve a fresh
+        # checkout (the driver's bench env resets to git-tracked state), and
+        # the load rematerializes the raw form for later fast loads
+        import gzip as _gzip
+        import pathlib as _pl
+        raw = next(_pl.Path(cache_dir).glob("*.exe.pkl"))
+        gz = raw.with_name(raw.name + ".gz")
+        gz.write_bytes(_gzip.compress(raw.read_bytes()))
+        raw.unlink()
+        exe2b, s2b = cached_compile(fn, (x, y), cache_dir=cache_dir)
+        assert s2b == "hit", s2b
+        np.testing.assert_array_equal(np.asarray(exe2b(x, y)), want)
+        assert raw.exists(), "gz load must rematerialize the raw entry"
+
         # a different program must key differently (no false hits)
         fn3 = jax.jit(lambda a, b: (a @ b).sum(axis=0) * 3.0)
         exe3, status3 = cached_compile(fn3, (x, y), cache_dir=cache_dir)
