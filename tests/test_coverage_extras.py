@@ -210,6 +210,64 @@ def test_health_endpoint():
         server.shutdown()
 
 
+def test_exec_cache_manifest_fresh():
+    """The COMMITTED exec-cache artifact must match the CURRENT sources.
+
+    `.exec_cache/*.exe.pkl.gz` is a primed TPU executable committed so a
+    fresh checkout (driver bench env) warm-starts bench.py. Its key hashes
+    the traced-source files — an edit to any module in
+    `exec_cache._TRACED_GLOBS` orphans the artifact SILENTLY (next bench
+    falls back to a full remote compile). This test recomputes the digest
+    on CPU from `.exec_cache/MANIFEST.json` (env parts captured on the TPU
+    by scripts/exec_cache_manifest.py) and fails if the committed entry
+    went stale: re-prime with `python bench.py` on the TPU, re-gzip, and
+    re-run scripts/exec_cache_manifest.py.
+    """
+    import json
+    import pathlib
+
+    import jax.numpy as jnp
+
+    from obs_rvc_tpu.config import StreamSettings
+    from obs_rvc_tpu.stream import RvcPipeline
+    from obs_rvc_tpu.utils import exec_cache as ec
+
+    cache_dir = pathlib.Path(ec.DEFAULT_DIR)
+    manifest_path = cache_dir / "MANIFEST.json"
+    if not manifest_path.exists():
+        import pytest
+
+        pytest.skip("no committed exec-cache manifest")
+    manifest = json.loads(manifest_path.read_text())
+    assert manifest["entries"], "manifest exists but lists no entries"
+    for entry in manifest["entries"]:
+        # (a) the semantic key still matches a freshly-built pipeline
+        # (pallas_resblocks=True + bf16 reproduces the TPU-resolved config)
+        cfg = StreamSettings().chunk_config(48000)
+        pipe = RvcPipeline(cfg, compute_dtype=jnp.bfloat16, pallas_resblocks=True)
+        assert pipe.fingerprint() + "|jit_step" == entry["semantic_key"], (
+            f"{entry['label']}: pipeline fingerprint drifted — the committed "
+            "executable no longer matches the default bench config"
+        )
+        # (b) the full digest (incl. CURRENT traced-source hash) still names
+        # the committed file
+        digest = ec._digest(
+            [entry["key_version"], "semantic", entry["semantic_key"],
+             ec.traced_source_fingerprint()]
+            + entry["env_parts"]
+            + [entry["tag"]]
+        )
+        assert f"{digest}.exe.pkl.gz" == entry["file"], (
+            f"{entry['label']}: traced sources changed since the artifact "
+            "was primed — re-prime on the TPU (python bench.py), re-gzip, "
+            "and re-run scripts/exec_cache_manifest.py"
+        )
+        assert (cache_dir / entry["file"]).exists(), (
+            f"{entry['label']}: manifest names {entry['file']} but the "
+            "artifact is not in the repo"
+        )
+
+
 def test_exec_cache_roundtrip(tmp_path):
     """cached_compile: miss compiles+persists, hit deserializes, outputs equal.
 
