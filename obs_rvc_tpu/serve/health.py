@@ -12,8 +12,11 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
-def start_health_server(metrics, host: str = "127.0.0.1", port: int = 0):
-    """Serve in a daemon thread; returns (server, actual_port)."""
+def start_health_server(metrics, host: str = "127.0.0.1", port: int = 0, extra=None):
+    """Serve in a daemon thread; returns (server, actual_port).
+
+    ``extra`` — optional zero-arg callable returning a dict merged into the
+    ``/metrics`` JSON (e.g. live pool occupancy from the serving entry)."""
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
@@ -21,7 +24,10 @@ def start_health_server(metrics, host: str = "127.0.0.1", port: int = 0):
                 body = b"ok"
                 ctype = "text/plain"
             elif self.path == "/metrics":
-                body = json.dumps(metrics.snapshot().as_dict()).encode()
+                snap = metrics.snapshot().as_dict()
+                if extra is not None:
+                    snap.update(extra())
+                body = json.dumps(snap).encode()
                 ctype = "application/json"
             else:
                 self.send_response(404)

@@ -229,7 +229,16 @@ def main(argv=None, *, ready=None, stop_event=None) -> None:
             )
 
     if args.health_port:
-        _, hp = start_health_server(metrics, args.host, args.health_port)
+        # pool occupancy rides /metrics so operators (and the soak test) can
+        # see slot pressure without a side channel
+        extra = None
+        if pool is not None:
+            def extra(pool=pool):
+                ready, active = pool.ready_slots()
+                return {"pool_ready": ready, "pool_active": active,
+                        "pool_capacity": pool.capacity}
+        _, hp = start_health_server(metrics, args.host, args.health_port,
+                                    extra=extra)
         print(f"health/metrics on {args.host}:{hp}", file=sys.stderr)
 
     threads = []

@@ -170,15 +170,41 @@ def test_soak_concurrent_matches_sequential(soak_server):
         np.testing.assert_allclose(again[c], seq[c], atol=2e-4)
 
 
+def _wait_pool_drained(info, deadline_s: float = 60.0) -> None:
+    """Block until /metrics reports zero active slots — a previous test's
+    close() detaches asynchronously on the server side, so grabbing all
+    N slots immediately can race a stale attach and get rejected."""
+    deadline = time.time() + deadline_s
+    while time.time() < deadline:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{info['health_port']}/metrics", timeout=10
+        ) as r:
+            snap = json.loads(r.read())
+        if snap.get("pool_active", 0) == 0:
+            return
+        time.sleep(0.05)
+    raise AssertionError(f"pool never drained: {snap}")
+
+
 def test_soak_pool_full_rejection(soak_server):
     """Capacity+1-th concurrent connection is rejected cleanly (server logs
     and closes; the pool's 8 slots stay intact for the holders)."""
+    _wait_pool_drained(soak_server)
     holders = [_connect(soak_server, ws=False) for _ in range(N_CLIENTS)]
     chunk = soak_server["chunk"]
     try:
-        # every holder proves its slot with one live round-trip
-        for h in holders:
-            h.send_audio(np.zeros(chunk, np.float32))
+        # every holder proves its slot with one live round-trip; a holder
+        # that raced a lagging detach was rejected at accept — reconnect it
+        for hi, h in enumerate(holders):
+            for attempt in range(20):
+                try:
+                    h.send_audio(np.zeros(chunk, np.float32))
+                    break
+                except (ConnectionError, EOFError, OSError):
+                    time.sleep(0.1)
+                    h = holders[hi] = _connect(soak_server, ws=False)
+            else:
+                raise AssertionError(f"holder {hi} never claimed a slot")
         ninth = _connect(soak_server, ws=False)
         with pytest.raises((EOFError, ConnectionError, AssertionError)):
             for _ in range(50):  # rejection may land after a few frames
